@@ -1,0 +1,181 @@
+"""Evaluation metrics.
+
+Rebuilds the reference's two metric stacks:
+
+* segmentation — confusion-matrix ("fast_hist") based mIoU / PA-Recall /
+  Precision / overall accuracy (``Segmentation/deeplabv3+/utils/utils_metrics.py:38-193``),
+  plus a jit-compiled on-device confusion accumulator so in-training eval never
+  leaves the chip.
+* classification — accuracy, per-class precision/recall/F1, confusion matrix
+  and FP/FN/TP/TN breakdown used by the fusion drivers
+  (``MultiModal Prediction/Four_Modal/my_train(full).py:144-171,386-408``) —
+  implemented sklearn-free from the confusion matrix.
+* multi-label evaluation of segmentation output (subset accuracy, accuracy,
+  precision, recall, F1, Hamming loss — the README.md:13 numbers).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Segmentation metrics (confusion-matrix based)
+# ---------------------------------------------------------------------------
+
+def fast_hist(label, pred, num_classes):
+    """Confusion matrix via bincount (utils_metrics.py:38-47). numpy, host-side."""
+    label = np.asarray(label).reshape(-1)
+    pred = np.asarray(pred).reshape(-1)
+    k = (label >= 0) & (label < num_classes)
+    return np.bincount(
+        num_classes * label[k].astype(int) + pred[k], minlength=num_classes**2
+    ).reshape(num_classes, num_classes)
+
+
+def confusion_matrix_jax(labels, preds, num_classes):
+    """On-device confusion matrix for jitted eval loops.
+
+    Same semantics as :func:`fast_hist` (rows = ground truth, cols = pred;
+    labels outside [0, num_classes) are dropped), but runs on TPU so per-batch
+    eval never syncs to host.
+    """
+    labels = labels.reshape(-1)
+    preds = preds.reshape(-1)
+    valid = (labels >= 0) & (labels < num_classes)
+    idx = jnp.where(valid, num_classes * labels + preds, num_classes * num_classes)
+    counts = jnp.zeros((num_classes * num_classes + 1,), jnp.int32).at[idx].add(1)
+    return counts[:-1].reshape(num_classes, num_classes)
+
+
+def per_class_iu(hist):
+    """IoU per class = TP / (TP + FP + FN) (utils_metrics.py:62-63)."""
+    hist = np.asarray(hist, np.float64)
+    return np.diag(hist) / np.maximum(hist.sum(1) + hist.sum(0) - np.diag(hist), 1)
+
+
+def per_class_pa_recall(hist):
+    """Recall (pixel accuracy) per class = TP / (TP + FN) (utils_metrics.py:84-85)."""
+    hist = np.asarray(hist, np.float64)
+    return np.diag(hist) / np.maximum(hist.sum(1), 1)
+
+
+def per_class_precision(hist):
+    """Precision per class = TP / (TP + FP) (utils_metrics.py:106-107)."""
+    hist = np.asarray(hist, np.float64)
+    return np.diag(hist) / np.maximum(hist.sum(0), 1)
+
+
+def per_accuracy(hist):
+    """Overall pixel accuracy (utils_metrics.py:115-116)."""
+    hist = np.asarray(hist, np.float64)
+    return np.sum(np.diag(hist)) / np.maximum(np.sum(hist), 1)
+
+
+DEFAULT_SEG_CLASS_NAMES = ("Background", "AW", "Puncation", "Mosaic", "Atypical")
+
+
+def summarize_hist(hist, name_classes=DEFAULT_SEG_CLASS_NAMES):
+    """IoU/Recall/Precision summary dict from an accumulated confusion matrix.
+
+    The in-memory equivalent of ``compute_mIoU``'s reporting
+    (utils_metrics.py:120-193); file-walking lives in
+    :mod:`cervical_tpu.inference.evaluator`.
+    """
+    ious = per_class_iu(hist)
+    recall = per_class_pa_recall(hist)
+    precision = per_class_precision(hist)
+    return {
+        "hist": np.asarray(hist, int),
+        "iou": ious,
+        "recall": recall,
+        "precision": precision,
+        "miou": float(np.nanmean(ious)),
+        "mpa": float(np.nanmean(recall)),
+        "accuracy": float(per_accuracy(hist)),
+        "names": tuple(name_classes),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Classification metrics (fusion model)
+# ---------------------------------------------------------------------------
+
+def classification_report(true_labels, pred_labels, num_classes=4):
+    """Accuracy, per-class precision/recall/F1, confusion, FP/FN/TP/TN.
+
+    sklearn-free reimplementation of the metric block in
+    my_train(full).py:144-171 (``average=None`` semantics: per-class arrays,
+    0 where the denominator is 0).
+    """
+    true_labels = np.asarray(true_labels, int).reshape(-1)
+    pred_labels = np.asarray(pred_labels, int).reshape(-1)
+    cm = fast_hist(true_labels, pred_labels, num_classes)
+    tp = np.diag(cm).astype(np.float64)
+    fp = cm.sum(axis=0) - tp
+    fn = cm.sum(axis=1) - tp
+    tn = cm.sum() - (fp + fn + tp)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        precision = np.where(tp + fp > 0, tp / np.maximum(tp + fp, 1), 0.0)
+        recall = np.where(tp + fn > 0, tp / np.maximum(tp + fn, 1), 0.0)
+        f1_den = precision + recall
+        f1 = np.where(f1_den > 0, 2 * precision * recall / np.maximum(f1_den, 1e-12), 0.0)
+        sensitivity = np.where(tp + fn > 0, tp / np.maximum(tp + fn, 1), 0.0)
+        specificity = np.where(tn + fp > 0, tn / np.maximum(tn + fp, 1), 0.0)
+    return {
+        "accuracy": float(np.mean(true_labels == pred_labels)) if len(true_labels) else 0.0,
+        "confusion": cm,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "fp": fp,
+        "fn": fn,
+        "tp": tp,
+        "tn": tn,
+        "sensitivity": sensitivity,
+        "specificity": specificity,
+    }
+
+
+def accuracy(true_labels, pred_labels):
+    true_labels = np.asarray(true_labels).reshape(-1)
+    pred_labels = np.asarray(pred_labels).reshape(-1)
+    if len(true_labels) == 0:
+        return 0.0
+    return float(np.mean(true_labels == pred_labels))
+
+
+# ---------------------------------------------------------------------------
+# Multi-label evaluation of segmentation output (README.md:13 metric family)
+# ---------------------------------------------------------------------------
+
+def multilabel_report(true_sets, pred_sets, num_labels=4):
+    """Multi-label metrics over per-image lesion-presence sets.
+
+    ``true_sets`` / ``pred_sets``: (N, num_labels) binary arrays — presence of
+    each foreground class in each image (derived from GT masks and predicted
+    masks).  Returns subset accuracy, elementwise accuracy, micro precision /
+    recall / F1 and Hamming loss, matching the README.md:13 evaluation of the
+    segmentation output as a multi-label classifier.
+    """
+    t = np.asarray(true_sets, bool)
+    p = np.asarray(pred_sets, bool)
+    assert t.shape == p.shape
+    subset_acc = float(np.mean(np.all(t == p, axis=1))) if len(t) else 0.0
+    elem_acc = float(np.mean(t == p)) if t.size else 0.0
+    tp = float(np.sum(t & p))
+    fp = float(np.sum(~t & p))
+    fn = float(np.sum(t & ~p))
+    precision = tp / max(tp + fp, 1.0)
+    recall = tp / max(tp + fn, 1.0)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-12)
+    hamming = float(np.mean(t != p)) if t.size else 0.0
+    return {
+        "subset_accuracy": subset_acc,
+        "accuracy": elem_acc,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "hamming": hamming,
+    }
