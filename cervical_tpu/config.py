@@ -1,0 +1,173 @@
+"""Typed configuration system.
+
+The reference has no CLI and three styles of hard-coded literals (SURVEY.md
+§5.6: ``train.py:50-281`` literals, the ``Args`` dict namespace in
+``my_train(full).py:648-678``, and ``DeeplabV3._defaults``).  Here every knob
+from §2's hyperparameter inventory is a typed dataclass field, loadable from
+YAML/JSON and overridable from the command line (``--key value`` dotted
+paths).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+try:
+    import yaml
+except Exception:  # pragma: no cover
+    yaml = None
+
+
+@dataclass
+class SegDataConfig:
+    """VOC-layout dataset config (train.py:131-137,396-399)."""
+
+    dataset_path: str = "VOCdevkit"
+    input_shape: Tuple[int, int] = (512, 512)
+    num_classes: int = 5
+    # augmentation knobs (dataloader.py:55)
+    jitter: float = 0.3
+    hue: float = 0.1
+    sat: float = 0.7
+    val: float = 0.3
+    scale_min: float = 0.25
+    scale_max: float = 2.0
+
+
+@dataclass
+class SegTrainConfig:
+    """Segmentation trainer config (reference literals: train.py:50-281)."""
+
+    data: SegDataConfig = field(default_factory=SegDataConfig)
+    backbone: str = "xception"  # train.py:94
+    pretrained: str = ""  # path to converted backbone weights ('' = random)
+    downsample_factor: int = 16  # train.py:129
+    init_epoch: int = 0
+    freeze_epoch: int = 20  # train.py:176-187
+    unfreeze_epoch: int = 200
+    freeze_batch_size: int = 16
+    unfreeze_batch_size: int = 8
+    freeze_train: bool = False  # train.py:192 (reference default False)
+    init_lr: float = 1e-4  # train.py:205-229 (adam)
+    min_lr_ratio: float = 0.01
+    optimizer_type: str = "adam"
+    momentum: float = 0.9
+    weight_decay: float = 0.0  # reference: 0 for adam
+    lr_decay_type: str = "cos"
+    focal_loss: bool = True  # train.py:259-265
+    dice_loss: bool = True
+    cls_weights: Tuple[float, ...] = (1.0, 1.0, 5.0, 3.0, 4.0)  # train.py:274
+    save_period: int = 10
+    save_dir: str = "logs"
+    eval_period: int = 10
+    seed: int = 11  # train.py:283
+    # TPU-native knobs (replace fp16/AMP and DDP/NCCL)
+    dtype: str = "bfloat16"
+    num_devices: Optional[int] = None  # None = all visible
+    eval_batch_size: int = 8
+    log_every: int = 50
+
+
+@dataclass
+class FusionTrainConfig:
+    """Multimodal fusion trainer config (my_train(full).py:648-678 + the
+    per-arity deltas table, SURVEY.md §2.1)."""
+
+    modalities: Tuple[str, ...] = ("imgN", "imgA", "imgL", "cli")
+    in_features: int = 1024
+    hidden: int = 512
+    num_classes: int = 4
+    dropout: float = 0.3
+    mix: bool = True
+    epochs: int = 180
+    lr: float = 1e-4
+    batch_size: int = 8
+    # per-arity deltas (SURVEY §2.1): 4-modal (5, .25, 5e-4, 40);
+    # 3-modal (10, .11, 1e-3, 30); 2-modal (5, .25, 1e-3, 20)
+    kfold: int = 5
+    inner_test_size: float = 0.25
+    weight_decay: float = 5e-4
+    lr_step: int = 40
+    lr_gamma: float = 0.8  # adjust_lr_raito
+    add_mse_loss_of_mae: bool = True
+    mse_loss_of_mae_factor: float = 5.0
+    head_weight_all: float = 1.0
+    head_weight_img: float = 0.3
+    head_weight_cli: float = 0.2
+    epoch0_no_step: bool = True  # my_train(full).py:350-353 warmup quirk
+    start_seed: int = 0
+    repeat_num: int = 1
+    save_dir: str = "logs_fusion"
+    dtype: str = "float32"
+
+    def arity_defaults(self):
+        """Apply the reference's per-arity hyperparameter deltas in place."""
+        n = len(self.modalities)
+        if n == 3:
+            self.kfold, self.inner_test_size = 10, 0.11
+            self.weight_decay, self.lr_step = 1e-3, 30
+        elif n == 2:
+            self.kfold, self.inner_test_size = 5, 0.25
+            self.weight_decay, self.lr_step = 1e-3, 20
+        return self
+
+
+def _update_dataclass(obj, data: dict):
+    for k, v in data.items():
+        if not hasattr(obj, k):
+            raise KeyError(f"unknown config key: {k!r} for {type(obj).__name__}")
+        cur = getattr(obj, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            _update_dataclass(cur, v)
+        else:
+            if isinstance(cur, tuple) and isinstance(v, (list, tuple)):
+                v = tuple(v)
+            setattr(obj, k, v)
+    return obj
+
+
+def load_config(cls, path: Optional[str] = None, overrides: Optional[dict] = None):
+    """Build ``cls()`` then apply a YAML/JSON file and/or override dict."""
+    cfg = cls()
+    if path:
+        with open(path) as f:
+            if path.endswith(".json"):
+                data = json.load(f)
+            else:
+                if yaml is None:
+                    raise RuntimeError("pyyaml unavailable; use JSON config")
+                data = yaml.safe_load(f)
+        _update_dataclass(cfg, data or {})
+    if overrides:
+        _update_dataclass(cfg, overrides)
+    return cfg
+
+
+def parse_cli_overrides(argv):
+    """``--a.b.c value`` pairs -> nested override dict (values JSON-parsed)."""
+    out = {}
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        if not arg.startswith("--"):
+            raise ValueError(f"expected --key, got {arg!r}")
+        key = arg[2:]
+        if "=" in key:
+            key, raw = key.split("=", 1)
+            i += 1
+        else:
+            raw = argv[i + 1]
+            i += 2
+        try:
+            val = json.loads(raw)
+        except json.JSONDecodeError:
+            val = raw
+        node = out
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return out

@@ -1,0 +1,439 @@
+"""Pallas TPU kernels for the fused augmentation warp.
+
+Why this exists: the straightforward gather formulation of the train-time
+warp (``ops/augment.py``) lowers to a per-pixel 2-D gather, which XLA:TPU
+scalarizes — measured ~33 images/sec on a v5e chip.  These kernels rebuild
+the same transform out of operations the TPU actually has:
+
+* **separable resample as MXU matmuls** — the scale + flip + paste part of
+  the reference chain (dataloader.py:82-111) factors into a vertical and a
+  horizontal 1-D resample.  Each is a (512x512) interpolation-weight matrix
+  built *inside the kernel* from iota/compares and applied with ``jnp.dot``
+  on the MXU.  Gray-fill borders come out exactly via the weight rowsums.
+* **rotation as three barrel-shifted shears** — R(theta) = Shx(-tan(theta/2))
+  . Shy(sin(theta)) . Shx(-tan(theta/2)) (Paeth).  A shear is a per-row
+  (or per-column) shift: implemented as a 7-stage barrel shifter of
+  ``pltpu.roll`` + per-row bit masks, entirely in VMEM/registers, with a
+  final fractional lerp and per-pass out-of-range masking to the gray fill
+  (|theta| <= 10 deg in the reference -> shift magnitude < 64 px).
+* **photometric fusion** — cv2-convention HSV gain jitter + conditional 5x5
+  Gaussian blur + /255 normalization in one VMEM-resident pass
+  (dataloader.py:118-152), blur borders edge-reflected via masked rolls.
+
+Layout: images are channel-planar ``(B, 3, S, S)`` so both matmul passes see
+un-interleaved lanes; labels ``(B, S, S)`` ride the same kernel in
+nearest-neighbor mode (one-hot weights, rounded shifts, zero fill).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# params vector layout (float32, per image)
+P_AY, P_BY, P_AX, P_BX, P_TANH, P_SINT, P_ANGLE, P_FILL = range(8)
+NPARAMS = 8
+MAX_SHIFT = 64  # barrel range: +-10deg rotation on 512 canvas stays under 64
+
+
+# ---------------------------------------------------------------------------
+# Parameter preparation (tiny XLA prelude)
+# ---------------------------------------------------------------------------
+
+def make_warp_params(params, src_hw, dst_hw, letterbox: bool = False,
+                     fill: float = 128.0):
+    """(B, NPARAMS) float32 warp-parameter rows from an
+    ``ops.augment.sample_augment_params`` dict.
+
+    Encodes the inverse resize+flip+paste map as ``src = a*dst + b`` per axis
+    (flip folded into the sign of ``ax``) plus the rotation shear
+    coefficients.
+    """
+    from cervical_tpu.ops.augment import _resized_dims
+    ih, iw = src_hw
+    nh, nw = _resized_dims(params, src_hw, dst_hw, letterbox)
+    h, w = dst_hw
+    if letterbox:
+        dx = jnp.floor((w - nw) / 2.0)
+        dy = jnp.floor((h - nh) / 2.0)
+    else:
+        dx = jnp.floor(params["dx_frac"] * (w - nw))
+        dy = jnp.floor(params["dy_frac"] * (h - nh))
+
+    ay = ih / nh
+    by = (0.5 - dy) * ay - 0.5
+    sx = iw / nw
+    flip = params["flip"].astype(jnp.float32)
+    # no flip: xs = sx*(x - dx + 0.5) - 0.5 ; flip: xs = sx*((nw-1) - (x-dx) + 0.5) - 0.5
+    ax = jnp.where(params["flip"], -sx, sx)
+    bx_nof = (0.5 - dx) * sx - 0.5
+    bx_f = (nw - 1.0 + dx + 0.5) * sx - 0.5
+    bx = jnp.where(params["flip"], bx_f, bx_nof)
+
+    # the gather reference maps output->source with R(+theta); the shear
+    # pipeline applies an output-space transform img o R(-theta_shear), so
+    # theta_shear = -theta reproduces it exactly.
+    theta = -params["angle"] * (np.pi / 180.0)
+    out = jnp.stack([
+        ay, by, ax, bx,
+        jnp.tan(theta / 2.0), jnp.sin(theta),
+        params["angle"], jnp.full_like(ay, fill)], axis=-1)
+    return out.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel helpers
+# ---------------------------------------------------------------------------
+
+def _interp_weights(a, b, out_size: int, in_size: int, nearest: bool,
+                    transposed: bool = False):
+    """2-tap interpolation weights for src = a*o + b over output index o.
+
+    Returns (W, inb): W is (out, in) — or (in, out) when ``transposed`` so
+    the horizontal pass can right-multiply without an in-kernel transpose —
+    with edge-clamped taps and rows zeroed outside [-0.5, in_size-0.5];
+    ``inb`` is the in-bounds indicator over output positions.
+    """
+    if transposed:
+        o = jax.lax.broadcasted_iota(jnp.int32, (1, out_size), 1).astype(jnp.float32)
+        i = jax.lax.broadcasted_iota(jnp.int32, (in_size, 1), 0)
+    else:
+        o = jax.lax.broadcasted_iota(jnp.int32, (out_size, 1), 0).astype(jnp.float32)
+        i = jax.lax.broadcasted_iota(jnp.int32, (1, in_size), 1)
+    src = a * o + b  # along the output orientation
+    inb = ((src >= -0.5) & (src <= in_size - 0.5)).astype(jnp.float32)
+    if nearest:
+        idx = jnp.clip(jnp.round(src), 0, in_size - 1).astype(jnp.int32)
+        w = (i == idx).astype(jnp.float32)
+    else:
+        y0 = jnp.floor(src)
+        f = src - y0
+        i0 = jnp.clip(y0, 0, in_size - 1).astype(jnp.int32)
+        i1 = jnp.clip(y0 + 1, 0, in_size - 1).astype(jnp.int32)
+        w = ((i == i0).astype(jnp.float32) * (1.0 - f)
+             + (i == i1).astype(jnp.float32) * f)
+    w = w * inb
+    return w.astype(jnp.bfloat16), inb
+
+
+def _shear_lanes(x, shift, fill, nearest: bool, size: int):
+    """out[r, c] = x[r, c - shift[r]] with fill outside; shift (size,1) f32.
+
+    Barrel shifter over lanes: pre-roll by +MAX_SHIFT then 7 masked stages.
+    ``pltpu.roll(x, s, axis)``: out[i] = x[(i - s) % n] (right shift by s).
+    """
+    if nearest:
+        s_int = jnp.round(shift)
+        frac = None
+    else:
+        s_int = jnp.floor(shift)
+        frac = (shift - s_int).astype(x.dtype)
+    u = jnp.clip(s_int, -MAX_SHIFT, MAX_SHIFT - 1).astype(jnp.int32) + MAX_SHIFT
+    y = pltpu.roll(x, (size - MAX_SHIFT) % size, 1)  # roll by -MAX_SHIFT
+    for k in range(7):  # bits 0..6 cover [0, 128)
+        step = 1 << k
+        bit = ((u >> k) & 1).astype(jnp.bool_)  # (size,1)
+        rolled = pltpu.roll(y, step, 1)
+        y = jnp.where(bit, rolled, y)
+    if frac is not None:
+        y_next = pltpu.roll(y, 1, 1)  # one more to the right: x[c - s - 1]
+        y = y.astype(jnp.float32) * (1.0 - frac.astype(jnp.float32)) \
+            + y_next.astype(jnp.float32) * frac.astype(jnp.float32)
+        y = y.astype(x.dtype)
+    # mask: valid where 0 <= c - shift <= size-1
+    c = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1).astype(jnp.float32)
+    valid = (c - shift >= -0.5) & (c - shift <= size - 0.5)
+    return jnp.where(valid, y, jnp.asarray(fill, x.dtype))
+
+
+def _shear_rows(x, shift, fill, nearest: bool, size: int):
+    """out[r, c] = x[r - shift[c], c]; shift (1,size) f32 — barrel over
+    sublanes."""
+    if nearest:
+        s_int = jnp.round(shift)
+        frac = None
+    else:
+        s_int = jnp.floor(shift)
+        frac = (shift - s_int).astype(x.dtype)
+    u = jnp.clip(s_int, -MAX_SHIFT, MAX_SHIFT - 1).astype(jnp.int32) + MAX_SHIFT
+    y = pltpu.roll(x, (size - MAX_SHIFT) % size, 0)
+    for k in range(7):
+        step = 1 << k
+        bit = ((u >> k) & 1).astype(jnp.bool_)  # (1,size)
+        rolled = pltpu.roll(y, step, 0)
+        y = jnp.where(bit, rolled, y)
+    if frac is not None:
+        y_next = pltpu.roll(y, 1, 0)
+        y = y.astype(jnp.float32) * (1.0 - frac.astype(jnp.float32)) \
+            + y_next.astype(jnp.float32) * frac.astype(jnp.float32)
+        y = y.astype(x.dtype)
+    r = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0).astype(jnp.float32)
+    valid = (r - shift >= -0.5) & (r - shift <= size - 0.5)
+    return jnp.where(valid, y, jnp.asarray(fill, x.dtype))
+
+
+def _rotate_plane(x, tanh, sint, fill, nearest: bool, size: int):
+    """Paeth 3-shear rotation about the canvas center (size//2, size//2).
+
+    Forward map R(theta): the image content rotates by -theta in array
+    coords, matching ``cv2.warpAffine(getRotationMatrix2D(center,
+    -rotation))`` as used in dataloader.py:127-131 (sign fixed by golden
+    test against the reference gather warp).
+    """
+    c = float(size // 2)
+    row = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0).astype(jnp.float32) - c
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, size), 1).astype(jnp.float32) - c
+    dtype = x.dtype
+    x = x.astype(jnp.float32)  # tpu.dynamic_rotate requires 32-bit lanes
+    # shear 1: lanes shift by -tanh * (r - c)
+    x = _shear_lanes(x, -tanh * row, fill, nearest, size)
+    # shear 2: rows shift by sint * (c_col)
+    x = _shear_rows(x, sint * col, fill, nearest, size)
+    # shear 3: lanes again
+    x = _shear_lanes(x, -tanh * row, fill, nearest, size)
+    return x.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _warp_image_kernel(params_ref, img_ref, out_ref, *, size: int,
+                       src_hw: tuple):
+    b = pl.program_id(0)
+    ay = params_ref[b, P_AY]
+    by = params_ref[b, P_BY]
+    ax = params_ref[b, P_AX]
+    bx = params_ref[b, P_BX]
+    fill = params_ref[b, P_FILL]
+
+    wy, inb_y = _interp_weights(ay, by, size, src_hw[0], nearest=False)
+    wxt, inb_x = _interp_weights(ax, bx, size, src_hw[1], nearest=False,
+                                 transposed=True)
+    fill_y = (1.0 - inb_y) * fill  # (S,1)
+    fill_x = (1.0 - inb_x) * fill  # (1,S)
+
+    angle = params_ref[b, P_ANGLE]
+    tanh = params_ref[b, P_TANH]
+    sint = params_ref[b, P_SINT]
+
+    for ch in range(img_ref.shape[1]):
+        # Mosaic lacks a direct u8->bf16 cast; hop through int32/f32
+        src = img_ref[0, ch].astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        v = jnp.dot(wy, src, preferred_element_type=jnp.float32)
+        v = v + fill_y
+        h = jnp.dot(v.astype(jnp.bfloat16), wxt,
+                    preferred_element_type=jnp.float32)
+        h = h + fill_x
+        h = h.astype(jnp.bfloat16)
+        rot = _rotate_plane(h, tanh, sint, fill, nearest=False, size=size)
+        out_ref[0, ch] = jnp.where(angle != 0.0, rot, h)
+
+
+def _warp_label_kernel(params_ref, lbl_ref, out_ref, *, size: int,
+                       src_hw: tuple):
+    b = pl.program_id(0)
+    ay = params_ref[b, P_AY]
+    by = params_ref[b, P_BY]
+    ax = params_ref[b, P_AX]
+    bx = params_ref[b, P_BX]
+
+    wy, _ = _interp_weights(ay, by, size, src_hw[0], nearest=True)
+    wxt, _ = _interp_weights(ax, bx, size, src_hw[1], nearest=True,
+                             transposed=True)
+
+    src = lbl_ref[0].astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+    v = jnp.dot(wy, src, preferred_element_type=jnp.float32)
+    h = jnp.dot(v.astype(jnp.bfloat16), wxt,
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    angle = params_ref[b, P_ANGLE]
+    tanh = params_ref[b, P_TANH]
+    sint = params_ref[b, P_SINT]
+    rot = _rotate_plane(h, tanh, sint, 0.0, nearest=True, size=size)
+    res = jnp.where(angle != 0.0, rot, h)
+    out_ref[0] = jnp.round(res.astype(jnp.float32)).astype(jnp.int32)
+
+
+def warp_images(images_planar, warp_params, out_size: int = None,
+                interpret: bool = False):
+    """Batched geometric warp: (B, 3, Hs, Ws) uint8 -> (B, 3, S, S) bfloat16
+    in [0, 255]."""
+    b, c, sh, sw = images_planar.shape
+    s = out_size or sh
+    kernel = functools.partial(_warp_image_kernel, size=s, src_hw=(sh, sw))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, c, sh, sw), lambda i, p: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, c, s, s), lambda i, p: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, c, s, s), jnp.bfloat16),
+        interpret=interpret,
+    )(warp_params, images_planar)
+
+
+def warp_labels(labels, warp_params, out_size: int = None,
+                interpret: bool = False):
+    """Batched nearest-neighbor label warp: (B, Hs, Ws) uint8 -> (B, S, S)
+    int32."""
+    b, sh, sw = labels.shape
+    s = out_size or sh
+    kernel = functools.partial(_warp_label_kernel, size=s, src_hw=(sh, sw))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, sh, sw), lambda i, p: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, s, s), lambda i, p: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, s, s), jnp.int32),
+        interpret=interpret,
+    )(warp_params, labels)
+
+
+# ---------------------------------------------------------------------------
+# Photometric kernel: HSV gain jitter + conditional blur + /255
+# ---------------------------------------------------------------------------
+
+def _photometric_kernel(pparams_ref, img_ref, out_ref, *, size: int):
+    b = pl.program_id(0)
+    gh = pparams_ref[b, 0]
+    gs = pparams_ref[b, 1]
+    gv = pparams_ref[b, 2]
+    do_blur = pparams_ref[b, 3]
+
+    r = img_ref[0, 0].astype(jnp.float32)
+    g = img_ref[0, 1].astype(jnp.float32)
+    bl = img_ref[0, 2].astype(jnp.float32)
+
+    # --- RGB -> cv2-uint8-range HSV ---
+    v = jnp.maximum(jnp.maximum(r, g), bl)
+    mn = jnp.minimum(jnp.minimum(r, g), bl)
+    delta = v - mn
+    safe = jnp.where(delta > 0, delta, 1.0)
+    h = jnp.where(v == r, 60.0 * (g - bl) / safe,
+                  jnp.where(v == g, 120.0 + 60.0 * (bl - r) / safe,
+                            240.0 + 60.0 * (r - g) / safe))
+    h = jnp.where(delta > 0, h, 0.0)
+    h = jnp.where(h < 0, h + 360.0, h) * 0.5
+    s = jnp.where(v > 0, 255.0 * delta / jnp.where(v > 0, v, 1.0), 0.0)
+
+    # --- LUT-style gains (round to ints like cv2 LUT on uint8 channels) ---
+    h = jnp.floor(jnp.mod(jnp.round(h) * gh, 180.0))
+    s = jnp.floor(jnp.clip(jnp.round(s) * gs, 0.0, 255.0))
+    v = jnp.floor(jnp.clip(jnp.round(v) * gv, 0.0, 255.0))
+
+    # --- HSV -> RGB ---
+    hd = h * 2.0
+    sf = s / 255.0
+    cc = v * sf
+    hp = hd / 60.0
+    xx = cc * (1.0 - jnp.abs(jnp.mod(hp, 2.0) - 1.0))
+    m = v - cc
+    i6 = jnp.floor(hp).astype(jnp.int32) % 6
+    def sel(a0, a1, a2, a3, a4, a5):
+        return jnp.where(i6 == 0, a0, jnp.where(i6 == 1, a1, jnp.where(
+            i6 == 2, a2, jnp.where(i6 == 3, a3, jnp.where(i6 == 4, a4, a5)))))
+    ro = sel(cc, xx, 0.0, 0.0, xx, cc) + m
+    go = sel(xx, cc, cc, xx, 0.0, 0.0) + m
+    bo = sel(0.0, 0.0, xx, cc, cc, xx) + m
+
+    # --- conditional separable 5x5 Gaussian (binomial [1,4,6,4,1]/16),
+    #     REFLECT_101 borders via masked rolls ---
+    def blur1d(x, axis):
+        n = size
+        idx = jax.lax.broadcasted_iota(jnp.int32, (size, size), axis)
+        acc = x * 0.375
+        for (dist, wgt) in ((1, 0.25), (2, 0.0625)):
+            plus = pltpu.roll(x, size - dist, axis)  # x[i + dist]
+            minus = pltpu.roll(x, dist, axis)    # x[i - dist]
+            # REFLECT_101: x[-k] = x[k], x[n-1+k] = x[n-1-k]
+            plus = jnp.where(idx >= n - dist, pltpu.roll(x, dist, axis), plus)
+            minus = jnp.where(idx < dist, pltpu.roll(x, size - dist, axis), minus)
+            acc = acc + wgt * (plus + minus)
+        return acc
+
+    def blur2d(x):
+        return blur1d(blur1d(x, 0), 1)
+
+    rb = jnp.where(do_blur > 0, blur2d(ro), ro)
+    gb = jnp.where(do_blur > 0, blur2d(go), go)
+    bb = jnp.where(do_blur > 0, blur2d(bo), bo)
+
+    inv255 = 1.0 / 255.0
+    out_ref[0, 0] = (rb * inv255).astype(out_ref.dtype)
+    out_ref[0, 1] = (gb * inv255).astype(out_ref.dtype)
+    out_ref[0, 2] = (bb * inv255).astype(out_ref.dtype)
+
+
+def photometric(images_planar, gains, blur_flags, interpret: bool = False,
+                out_dtype=jnp.bfloat16):
+    """HSV gain jitter + conditional 5x5 blur + /255.
+
+    ``images_planar``: (B, 3, S, S) float/bf16 in [0,255]; ``gains``: (B, 3);
+    ``blur_flags``: (B,) bool.  Returns (B, 3, S, S) ``out_dtype`` in [0,1].
+    """
+    b, c, s, _ = images_planar.shape
+    pparams = jnp.concatenate(
+        [gains.astype(jnp.float32),
+         blur_flags.astype(jnp.float32)[:, None]], axis=-1)
+    kernel = functools.partial(_photometric_kernel, size=s)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, c, s, s), lambda i, p: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, c, s, s), lambda i, p: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, c, s, s), out_dtype),
+        interpret=interpret,
+    )(pparams, images_planar)
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("dst_hw", "letterbox",
+                                             "interpret", "normalized"))
+def augment_batch_pallas(images, labels, params, dst_hw: Tuple[int, int],
+                         letterbox: bool = False, interpret: bool = False,
+                         normalized: bool = True):
+    """Drop-in fast path for :func:`cervical_tpu.ops.augment.augment_batch`.
+
+    ``images``: (B, H, W, 3) uint8 (H == W == dst for the kernel path);
+    returns (images (B, h, w, 3) bf16 — in [0,1] if ``normalized`` else
+    [0,255] — and labels (B, h, w) int32).
+    """
+    b = images.shape[0]
+    wp = make_warp_params(params, images.shape[1:3], dst_hw,
+                          letterbox=letterbox)
+    planar = jnp.transpose(images, (0, 3, 1, 2))
+    warped = warp_images(planar, wp, out_size=dst_hw[0], interpret=interpret)
+    lbl = warp_labels(labels, wp, out_size=dst_hw[0], interpret=interpret)
+    if letterbox:
+        out = warped.astype(jnp.bfloat16)
+        if normalized:
+            out = out / 255.0
+    else:
+        out = photometric(warped, params["gains"],
+                          params["blur"], interpret=interpret)
+        if not normalized:
+            out = out * 255.0
+    return jnp.transpose(out, (0, 2, 3, 1)), lbl

@@ -1,0 +1,93 @@
+"""Mesh construction and sharding helpers.
+
+TPU-native replacement for the reference's distributed stack (SURVEY.md §5.8):
+
+| reference (torch)                       | here (jax)                        |
+|-----------------------------------------|-----------------------------------|
+| ``dist.init_process_group('nccl')``     | ``jax.distributed.initialize``    |
+| DDP gradient buckets / allreduce        | batch sharded over the ``data``   |
+|                                         | mesh axis; XLA inserts the grad   |
+|                                         | psum over ICI under ``jit``       |
+| ``DistributedSampler`` per-rank split   | :func:`local_batch_slice` +       |
+|                                         | ``jax.make_array_from_process_local_data`` |
+| SyncBatchNorm CUDA kernel               | batch stats are computed on the   |
+|                                         | globally-sharded batch under jit — |
+|                                         | cross-replica by construction     |
+| ``dist.barrier()``                      | ``multihost_utils.sync_global_devices`` |
+
+The mesh also carries a ``model`` axis for tensor-parallel layouts.  The
+reference's models are small (DeepLab ~54M params), so the shipped configs
+keep ``model=1`` and scale on ``data``; the plumbing accepts any (data,
+model) factorization for larger deployments.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None):
+    """Multi-host init (no-op single-process). Mirrors train.py:288-294."""
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator_address, num_processes, process_id)
+
+
+def make_mesh(num_devices: Optional[int] = None, model_parallel: int = 1,
+              devices=None) -> Mesh:
+    """('data', 'model') mesh over the first ``num_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    n = len(devices)
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by model={model_parallel}")
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, ("data", "model"))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard leading (batch) axis over 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a pytree of host arrays so axis 0 is sharded over 'data'.
+
+    Arrays whose leading dim doesn't divide the data-axis size (ragged final
+    eval batches) are replicated instead — correctness over placement.
+    """
+    n_data = mesh.shape["data"]
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % n_data == 0:
+            return jax.device_put(x, data_sharding(mesh, x.ndim))
+        return jax.device_put(x, replicated_sharding(mesh))
+    return jax.tree_util.tree_map(put, batch)
+
+
+def local_batch_slice(global_batch: int, mesh: Mesh) -> slice:
+    """This process's slice of the global batch (DistributedSampler
+    equivalent, train.py:496-499)."""
+    n_proc = jax.process_count()
+    per = global_batch // n_proc
+    pid = jax.process_index()
+    return slice(pid * per, (pid + 1) * per)
+
+
+def barrier(name: str = "barrier"):
+    """Cross-host sync (dist.barrier, train.py:308,581)."""
+    if jax.process_count() > 1:  # pragma: no cover - multihost only
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)

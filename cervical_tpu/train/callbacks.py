@@ -1,0 +1,107 @@
+"""Training observability: loss history, periodic mIoU eval, curve dumps.
+
+Reference: ``Segmentation/deeplabv3+/utils/callbacks.py`` — TensorBoard
+scalars + ``epoch_loss.txt``/``epoch_val_loss.txt`` + smoothed loss PNG
+(:29-79), and ``EvalCallback`` writing ``epoch_miou.txt`` + a mIoU curve
+(:84-200).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+class LossHistory:
+    """Append per-epoch losses to txt files, optional tensorboardX scalars,
+    optional matplotlib curve (savgol-smoothed when scipy is present)."""
+
+    def __init__(self, log_dir: str, use_tensorboard: bool = True):
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        self.losses = []
+        self.val_losses = []
+        self.writer = None
+        if use_tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+                self.writer = SummaryWriter(log_dir)
+            except Exception:
+                self.writer = None
+
+    def append_loss(self, epoch: int, loss: float, val_loss: float):
+        self.losses.append(loss)
+        self.val_losses.append(val_loss)
+        for name, v in (("epoch_loss", loss), ("epoch_val_loss", val_loss)):
+            with open(os.path.join(self.log_dir, name + ".txt"), "a") as f:
+                f.write(f"{v}\n")
+        if self.writer is not None:
+            self.writer.add_scalar("loss", loss, epoch)
+            self.writer.add_scalar("val_loss", val_loss, epoch)
+        self.loss_plot()
+
+    def loss_plot(self):
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:  # pragma: no cover
+            return
+        it = range(len(self.losses))
+        plt.figure()
+        plt.plot(it, self.losses, "red", linewidth=2, label="train loss")
+        plt.plot(it, self.val_losses, "coral", linewidth=2, label="val loss")
+        if len(self.losses) >= 25:
+            try:
+                from scipy.signal import savgol_filter
+                num = 5 if len(self.losses) < 25 else 15
+                plt.plot(it, savgol_filter(self.losses, num, 3), "green",
+                         linestyle="--", linewidth=2, label="smooth train loss")
+                plt.plot(it, savgol_filter(self.val_losses, num, 3), "#8B4513",
+                         linestyle="--", linewidth=2, label="smooth val loss")
+            except Exception:
+                pass
+        plt.grid(True)
+        plt.xlabel("Epoch")
+        plt.ylabel("Loss")
+        plt.legend(loc="upper right")
+        plt.savefig(os.path.join(self.log_dir, "epoch_loss.png"))
+        plt.close("all")
+
+
+class MiouHistory:
+    """Track periodic mIoU evals: ``epoch_miou.txt`` + curve
+    (callbacks.py:176-197)."""
+
+    def __init__(self, log_dir: str, period: int = 10):
+        self.log_dir = log_dir
+        self.period = period
+        os.makedirs(log_dir, exist_ok=True)
+        self.epochs = [0]
+        self.mious = [0.0]
+
+    def should_eval(self, epoch: int) -> bool:
+        return (epoch + 1) % self.period == 0
+
+    def append(self, epoch: int, miou: float):
+        self.epochs.append(epoch + 1)
+        self.mious.append(miou)
+        with open(os.path.join(self.log_dir, "epoch_miou.txt"), "a") as f:
+            f.write(f"{miou}\n")
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            plt.figure()
+            plt.plot(self.epochs, self.mious, "red", linewidth=2, label="train miou")
+            plt.grid(True)
+            plt.xlabel("Epoch")
+            plt.ylabel("Miou")
+            plt.title("A Miou Curve")
+            plt.legend(loc="upper right")
+            plt.savefig(os.path.join(self.log_dir, "epoch_miou.png"))
+            plt.close("all")
+        except Exception:  # pragma: no cover
+            pass

@@ -1,0 +1,263 @@
+"""Multimodal fusion trainer: jitted batched steps + stratified-CV driver.
+
+TPU-native rebuild of the reference's 11 near-identical training scripts
+(``MultiModal Prediction/Four_Modal/my_train(full).py`` and the Two/Three
+variants): one driver parameterized by the modality subset.
+
+Key redesigns vs. the reference (SURVEY.md §7.1):
+
+* the per-patient batch-of-one loop with manual logit accumulation
+  (my_train(full).py:228-355) becomes a *batched* jitted step — the
+  reference's "accumulate logits over ``batch_size`` patients, then take CE
+  over the stack" is exactly CE over a batched forward, so semantics are
+  preserved while the TPU sees one fused program per micro-batch.
+* random modality masks are sampled with a threaded PRNG key per batch
+  (replaces np.random in ``generate_mask``).
+* the reference quirks are kept behind config flags and on by default:
+  epoch-0 forward/backward without ``optimizer.step()``
+  (my_train(full).py:350-353, ``epoch0_no_step``) and the MAE-MSE
+  ``/iter/5`` normalization (:339-340).
+* best-model selection by validation accuracy keeps a host-side copy of the
+  params (replaces ``copy.deepcopy(model)``, :545-563).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from cervical_tpu import losses, metrics
+from cervical_tpu.config import FusionTrainConfig
+from cervical_tpu.data import splits as split_lib
+from cervical_tpu.data.fusion_data import subset
+from cervical_tpu.data.masks import generate_modal_masks
+from cervical_tpu.models.fusion import FusionMAE
+from cervical_tpu.train.schedules import fusion_step_decay
+
+
+def build_model(cfg: FusionTrainConfig) -> FusionMAE:
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.dtype]
+    return FusionMAE(modalities=tuple(cfg.modalities),
+                     in_features=cfg.in_features, hidden=cfg.hidden,
+                     num_classes=cfg.num_classes, dropout=cfg.dropout,
+                     mix=cfg.mix, dtype=dtype)
+
+
+def head_weights(cfg: FusionTrainConfig) -> Dict[str, float]:
+    w = {"all": cfg.head_weight_all, "cli": cfg.head_weight_cli}
+    for m in ("imgN", "imgA", "imgL"):
+        w[m] = cfg.head_weight_img
+    return w
+
+
+class FusionTrainer:
+    def __init__(self, cfg: FusionTrainConfig, rng=None):
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        self.rng = rng if rng is not None else jax.random.PRNGKey(cfg.start_seed)
+        self.tx = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=cfg.lr, weight_decay=cfg.weight_decay)
+        self._train_step = None
+        self._eval_step = None
+
+    # -- state ------------------------------------------------------------
+    def init_state(self, feats_example, rng) -> Dict:
+        variables = self.model.init(rng, feats_example)
+        params = variables["params"]
+        return {"params": params, "opt_state": self.tx.init(params)}
+
+    # -- jitted steps ------------------------------------------------------
+    def train_step_fn(self):
+        if self._train_step is not None:
+            return self._train_step
+        cfg = self.cfg
+        hw = head_weights(cfg)
+        mods = tuple(cfg.modalities)
+
+        @jax.jit
+        def step(state, feats, labels, mae_mask, lr, do_step, dropout_rng):
+            def loss_fn(params):
+                out = self.model.apply(
+                    {"params": params}, feats, mae_mask=mae_mask,
+                    deterministic=False, rngs={"dropout": dropout_rng})
+                logits = {k: v for k, v in out["logits"].items()}
+                mae_mse = None
+                if cfg.add_mse_loss_of_mae and len(mods) > 1:
+                    # reference accumulates factor*mse per sample then /iter;
+                    # batched: mean over samples of per-sample masked mse
+                    per = jax.vmap(losses.masked_mae_mse)(
+                        out["mae_out"], out["mae_labels"], mae_mask)
+                    mae_mse = cfg.mse_loss_of_mae_factor * jnp.mean(per)
+                total, parts = losses.fusion_multihead_loss(
+                    logits, labels, hw, mae_mse,
+                    mse_factor=cfg.mse_loss_of_mae_factor,
+                    num_micro_batches=1)
+                return total, (parts, logits)
+
+            (total, (parts, logits)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state["params"])
+            opt_state = state["opt_state"]
+            opt_state.hyperparams["learning_rate"] = lr
+            updates, new_opt = self.tx.update(grads, opt_state, state["params"])
+            # epoch-0 warmup quirk: compute everything, skip the update
+            scale = jnp.where(do_step, 1.0, 0.0)
+            updates = jax.tree_util.tree_map(lambda u: u * scale, updates)
+            params = optax.apply_updates(state["params"], updates)
+            new_state = {"params": params, "opt_state": new_opt}
+            preds = {k: jnp.argmax(v, axis=-1) for k, v in logits.items()}
+            return new_state, {"loss": total, "ce_all": parts["all"],
+                               "preds": preds}
+
+        self._train_step = step
+        return step
+
+    def eval_step_fn(self):
+        if self._eval_step is not None:
+            return self._eval_step
+
+        @jax.jit
+        def step(params, feats, present, mae_mask):
+            out = self.model.apply({"params": params}, feats, present=present,
+                                   mae_mask=mae_mask, deterministic=True)
+            logits = out["logits"]
+            preds = {k: jnp.argmax(v, axis=-1) for k, v in logits.items()}
+            return logits, preds
+
+        self._eval_step = step
+        return step
+
+    # -- epoch loops -------------------------------------------------------
+    def train_epoch(self, state, ds, epoch: int, lr: float,
+                    batch_size: Optional[int] = None):
+        """One epoch over the cohort in shuffled micro-batches
+        (train_a_epoch, my_train(full).py:188-410)."""
+        cfg = self.cfg
+        bs = batch_size or cfg.batch_size
+        n = len(ds["labels"])
+        self.rng, shuffle_key = jax.random.split(self.rng)
+        order = np.asarray(jax.random.permutation(shuffle_key, n))
+        step = self.train_step_fn()
+        t = len(cfg.modalities)
+        do_step = not (cfg.epoch0_no_step and epoch == 0)
+
+        total_ce, nb = 0.0, 0
+        all_preds = {k: [] for k in ["all", *cfg.modalities]}
+        all_true = []
+        # drop ragged tail into its own (re-jitted once) shape only if needed;
+        # reference processes the tail as a smaller final micro-batch
+        for start in range(0, n, bs):
+            idx = order[start:start + bs]
+            if len(idx) == 0:
+                continue
+            batch = subset(ds, idx)
+            feats = {m: jnp.asarray(v) for m, v in batch["feats"].items()}
+            labels = jnp.asarray(batch["labels"])
+            self.rng, mk, dk = jax.random.split(self.rng, 3)
+            mask = (generate_modal_masks(mk, len(idx), t) if t > 1
+                    else jnp.zeros((len(idx), 1), bool))
+            state, m = step(state, feats, labels, mask,
+                            jnp.asarray(lr), jnp.asarray(do_step), dk)
+            total_ce += float(m["ce_all"])
+            nb += 1
+            for k in all_preds:
+                all_preds[k].append(np.asarray(m["preds"][k]))
+            all_true.append(batch["labels"])
+
+        true = np.concatenate(all_true)
+        report = {"loss": total_ce / max(nb, 1)}
+        for k, v in all_preds.items():
+            report[f"acc_{k}"] = metrics.accuracy(true, np.concatenate(v))
+        cls = metrics.classification_report(
+            true, np.concatenate(all_preds["all"]), self.cfg.num_classes)
+        report["confusion"] = cls["confusion"]
+        report["sensitivity"] = cls["sensitivity"]
+        report["specificity"] = cls["specificity"]
+        return state, report
+
+    def predict(self, params, ds, batch_size: int = 64,
+                use_present: bool = True):
+        """Full-cohort evaluation (``prediction``, my_train(full).py:47-171):
+        per-head accuracies, CE loss of the fused head, confusion matrix,
+        precision/recall/F1, FP/FN/TP/TN."""
+        cfg = self.cfg
+        step = self.eval_step_fn()
+        t = len(cfg.modalities)
+        n = len(ds["labels"])
+        heads = ["all", *cfg.modalities]
+        preds = {k: [] for k in heads}
+        fused_logits = []
+        for start in range(0, n, batch_size):
+            idx = np.arange(start, min(start + batch_size, n))
+            batch = subset(ds, idx)
+            feats = {m: jnp.asarray(v) for m, v in batch["feats"].items()}
+            present = (jnp.asarray(batch["present"]) if use_present
+                       else jnp.ones((len(idx), t), bool))
+            mask = jnp.zeros((len(idx), t), bool)
+            logits, p = step(params, feats, present, mask)
+            fused_logits.append(np.asarray(logits["all"]))
+            for k in heads:
+                preds[k].append(np.asarray(p[k]))
+
+        true = np.asarray(ds["labels"])
+        fused = np.concatenate(fused_logits)
+        loss = float(losses.softmax_cross_entropy(jnp.asarray(fused),
+                                                  jnp.asarray(true)))
+        out = {"loss": loss}
+        for k in heads:
+            out[f"acc_{k}"] = metrics.accuracy(true, np.concatenate(preds[k]))
+        out.update(metrics.classification_report(
+            true, np.concatenate(preds["all"]), cfg.num_classes))
+        return out
+
+    # -- cross-validation driver ------------------------------------------
+    def cross_validate(self, ds, epochs: Optional[int] = None, log=print):
+        """Seed-repeat x stratified-K-fold CV with inner train/val split and
+        best-by-val-accuracy selection (main, my_train(full).py:417-623)."""
+        cfg = self.cfg
+        epochs = epochs or cfg.epochs
+        labels = np.asarray(ds["labels"])
+        results = []
+        for seed in range(cfg.start_seed, cfg.start_seed + cfg.repeat_num):
+            fold_results = []
+            for fold, (train_idx, test_idx) in enumerate(
+                    split_lib.stratified_kfold(labels, cfg.kfold, seed=seed)):
+                tr_idx, val_idx = split_lib.train_test_split(
+                    train_idx, cfg.inner_test_size, seed=seed,
+                    stratify=labels[train_idx])
+                self.rng, init_key = jax.random.split(self.rng)
+                feats0 = {m: jnp.asarray(v[:1])
+                          for m, v in ds["feats"].items()}
+                state = self.init_state(feats0, init_key)
+                schedule = fusion_step_decay(cfg.lr, cfg.lr_gamma, cfg.lr_step)
+
+                best = {"val_acc": -1.0, "params": None, "epoch": -1}
+                train_ds = subset(ds, tr_idx)
+                val_ds = subset(ds, val_idx)
+                test_ds = subset(ds, test_idx)
+                for epoch in range(epochs):
+                    lr = schedule(epoch)
+                    state, rep = self.train_epoch(state, train_ds, epoch, lr)
+                    val = self.predict(state["params"], val_ds)
+                    if val["acc_all"] > best["val_acc"]:
+                        best = {"val_acc": val["acc_all"],
+                                "params": jax.device_get(state["params"]),
+                                "epoch": epoch}
+                    if (epoch + 1) % 20 == 0 or epoch == epochs - 1:
+                        log(f"seed {seed} fold {fold} epoch {epoch + 1}: "
+                            f"train acc {rep['acc_all']:.3f} "
+                            f"val acc {val['acc_all']:.3f}")
+                final = self.predict(best["params"] or state["params"], test_ds)
+                fold_results.append({"seed": seed, "fold": fold,
+                                     "best_epoch": best["epoch"],
+                                     "val_acc": best["val_acc"],
+                                     "test": final})
+                log(f"seed {seed} fold {fold}: test acc {final['acc_all']:.3f}")
+            results.extend(fold_results)
+        mean_acc = float(np.mean([r["test"]["acc_all"] for r in results]))
+        return {"folds": results, "mean_test_acc": mean_acc}

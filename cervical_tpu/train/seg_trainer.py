@@ -1,0 +1,310 @@
+"""Segmentation trainer: jitted data-parallel train/eval steps + fit loop.
+
+TPU-native rebuild of the reference's training stack
+(``Segmentation/deeplabv3+/train.py`` + ``utils/utils_fit.py``):
+
+* one jitted ``train_step`` fuses on-device augmentation, normalization,
+  one-hot encoding, the DeepLab forward/backward, loss (focal-or-CE + dice
+  with class weights), and the optimizer update — the reference's
+  autocast/GradScaler fp16 path (utils_fit.py:92-121) becomes bf16 compute
+  with fp32 master params, no scaler needed on TPU.
+* data parallelism: the batch is sharded over the mesh 'data' axis; XLA
+  inserts the gradient all-reduce over ICI (replaces DDP+NCCL,
+  train.py:288-294,386-390).  BatchNorm statistics are computed on the
+  *global* sharded batch under jit, so SyncBN (train.py:375-378) holds by
+  construction.
+* the freeze/unfreeze two-phase schedule (train.py:176-187,531-570) is a
+  gradient mask over backbone params; BN running stats still update during
+  the freeze phase, matching the reference's requires_grad-only freeze
+  (train.py:448-449 — see docs/PARITY.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from cervical_tpu import losses
+from cervical_tpu.config import SegTrainConfig
+from cervical_tpu.models.deeplab import DeepLab
+from cervical_tpu.ops import augment as aug_ops
+from cervical_tpu.ops.image import one_hot_with_ignore, preprocess_input
+from cervical_tpu.metrics import confusion_matrix_jax
+from cervical_tpu.parallel import make_mesh, shard_batch
+from cervical_tpu.train import schedules
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def _dtype(cfg: SegTrainConfig):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.dtype]
+
+
+def build_model(cfg: SegTrainConfig) -> DeepLab:
+    return DeepLab(num_classes=cfg.data.num_classes, backbone=cfg.backbone,
+                   downsample_factor=cfg.downsample_factor, dtype=_dtype(cfg))
+
+
+def make_optimizer(cfg: SegTrainConfig):
+    """Adam/SGD with injected LR (set per epoch like set_optimizer_lr,
+    deeplabv3_training.py:119-122)."""
+    if cfg.optimizer_type == "adam":
+        base = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=0.0, b1=cfg.momentum, b2=0.999,
+            weight_decay=cfg.weight_decay)
+    else:
+        base = optax.inject_hyperparams(
+            lambda learning_rate: optax.chain(
+                optax.add_decayed_weights(cfg.weight_decay),
+                optax.sgd(learning_rate, momentum=cfg.momentum, nesterov=True))
+        )(learning_rate=0.0)
+    return base
+
+
+def create_state(cfg: SegTrainConfig, rng) -> TrainState:
+    model = build_model(cfg)
+    h, w = cfg.data.input_shape
+    variables = model.init(rng, jnp.zeros((1, h, w, 3), _dtype(cfg)))
+    tx = make_optimizer(cfg)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+    )
+
+
+def _backbone_mask(params, frozen: bool):
+    """0/1 gradient multiplier tree: 0 for backbone params when frozen."""
+    def mark(path, leaf):
+        is_backbone = any(getattr(p, "key", None) == "backbone" for p in path)
+        return 0.0 if (frozen and is_backbone) else 1.0
+    return jax.tree_util.tree_map_with_path(mark, params)
+
+
+def seg_loss_fn(cfg: SegTrainConfig, logits, labels, one_hot):
+    cls_w = jnp.asarray(cfg.cls_weights, jnp.float32)
+    nc = cfg.data.num_classes
+    if cfg.focal_loss:
+        main = losses.focal_loss(logits, labels, cls_w, nc)
+    else:
+        main = losses.cross_entropy_loss(logits, labels, cls_w, nc)
+    total = main
+    if cfg.dice_loss:
+        total = total + losses.dice_loss(logits, one_hot)
+    return total, main
+
+
+def make_train_step(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
+    """Returns jit(state, images_u8, labels_u8, aug_params, lr, rng) ->
+    (state, metrics).  Augmentation runs inside the step (fused)."""
+    h, w = cfg.data.input_shape
+    nc = cfg.data.num_classes
+
+    @jax.jit
+    def step(state: TrainState, images, labels, aug_params, lr, rng):
+        images, labels = aug_ops.augment_batch(
+            images, labels, aug_params, (h, w), letterbox=False)
+        images = preprocess_input(images).astype(_dtype(cfg))
+        labels = jnp.minimum(labels.astype(jnp.int32), nc)
+        one_hot = one_hot_with_ignore(labels, nc)
+
+        def loss_fn(params):
+            logits, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng})
+            total, main = seg_loss_fn(cfg, logits, labels, one_hot)
+            fs = losses.f_score(logits, one_hot)
+            return total, (updates["batch_stats"], main, fs)
+
+        (total, (new_bs, main, fs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        mask = _backbone_mask(state.params, frozen)
+        grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, new_opt = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        metrics = {"loss": total, "main_loss": main, "f_score": fs}
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(cfg: SegTrainConfig, model: DeepLab):
+    h, w = cfg.data.input_shape
+    nc = cfg.data.num_classes
+
+    @jax.jit
+    def step(state: TrainState, images, labels):
+        lp = aug_ops.letterbox_params_like(images.shape[0],
+                                           images.shape[1:3], (h, w))
+        images, labels = aug_ops.augment_batch(images, labels, lp, (h, w),
+                                               letterbox=True)
+        images = preprocess_input(images).astype(_dtype(cfg))
+        labels = jnp.minimum(labels.astype(jnp.int32), nc)
+        one_hot = one_hot_with_ignore(labels, nc)
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=False)
+        total, main = seg_loss_fn(cfg, logits, labels, one_hot)
+        fs = losses.f_score(logits, one_hot)
+        preds = jnp.argmax(logits, axis=-1)
+        hist = confusion_matrix_jax(labels, preds, nc)
+        return {"loss": total, "f_score": fs, "hist": hist}
+
+    return step
+
+
+@dataclasses.dataclass
+class EpochResult:
+    train_loss: float
+    val_loss: float
+    train_f_score: float
+    val_f_score: float
+    seconds: float
+
+
+class SegTrainer:
+    """fit_one_epoch / fit driver (utils_fit.py:31-198 + train.py:526-581)."""
+
+    def __init__(self, cfg: SegTrainConfig, rng=None, mesh=None):
+        self.cfg = cfg
+        self.rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.num_devices)
+        self.model = build_model(cfg)
+        self.tx = make_optimizer(cfg)
+        self.rng, init_rng = jax.random.split(self.rng)
+        self.state = create_state(cfg, init_rng)
+        self._steps = {}
+
+    def _train_step(self, frozen: bool):
+        if frozen not in self._steps:
+            self._steps[frozen] = make_train_step(self.cfg, self.model,
+                                                  self.tx, frozen)
+        return self._steps[frozen]
+
+    def _eval_step(self):
+        if "eval" not in self._steps:
+            self._steps["eval"] = make_eval_step(self.cfg, self.model)
+        return self._steps["eval"]
+
+    def lr_schedule(self, batch_size: int, total_epochs: int):
+        init_fit, min_fit = schedules.adaptive_seg_lr(
+            self.cfg.init_lr, self.cfg.init_lr * self.cfg.min_lr_ratio,
+            batch_size, backbone=self.cfg.backbone,
+            optimizer_type=self.cfg.optimizer_type)
+        return schedules.get_lr_scheduler(self.cfg.lr_decay_type, init_fit,
+                                          min_fit, total_epochs)
+
+    def run_epoch(self, train_loader, val_loader, epoch: int, frozen: bool,
+                  lr: float) -> EpochResult:
+        t0 = time.time()
+        step_fn = self._train_step(frozen)
+        tl, tf, n = 0.0, 0.0, 0
+        for images, labels in train_loader:
+            self.rng, pk, dk = jax.random.split(self.rng, 3)
+            params_aug = aug_ops.sample_augment_params(
+                pk, images.shape[0], jitter=self.cfg.data.jitter,
+                scale_range=(self.cfg.data.scale_min, self.cfg.data.scale_max),
+                hue=self.cfg.data.hue, sat=self.cfg.data.sat,
+                val=self.cfg.data.val)
+            batch = shard_batch(self.mesh, (images, labels))
+            self.state, m = step_fn(self.state, batch[0], batch[1],
+                                    params_aug, jnp.asarray(lr), dk)
+            tl += float(m["loss"])
+            tf += float(m["f_score"])
+            n += 1
+        vl, vf, vn = 0.0, 0.0, 0
+        eval_fn = self._eval_step()
+        for images, labels in val_loader:
+            batch = shard_batch(self.mesh, (images, labels))
+            m = eval_fn(self.state, batch[0], batch[1])
+            vl += float(m["loss"])
+            vf += float(m["f_score"])
+            vn += 1
+        return EpochResult(tl / max(n, 1), vl / max(vn, 1), tf / max(n, 1),
+                           vf / max(vn, 1), time.time() - t0)
+
+    def fit(self, train_ds, val_ds, total_epochs: Optional[int] = None,
+            loader_factory=None, log=print) -> Dict:
+        """Full two-phase training loop (train.py:526-581).
+
+        ``train_ds``/``val_ds``: VOCSegDataset-like objects.  Returns a dict
+        with per-epoch history.  ``loader_factory(ds, batch_size, shuffle)``
+        defaults to :class:`cervical_tpu.data.voc.BatchLoader`.
+        """
+        from cervical_tpu.data.voc import BatchLoader
+        from cervical_tpu.train.callbacks import LossHistory, MiouHistory
+        from cervical_tpu.train.checkpoints import CheckpointManager
+
+        cfg = self.cfg
+        total_epochs = total_epochs or cfg.unfreeze_epoch
+        if loader_factory is None:
+            def loader_factory(ds, bs, shuffle):
+                return BatchLoader(ds, bs, shuffle=shuffle, seed=cfg.seed)
+
+        loss_hist = LossHistory(cfg.save_dir)
+        miou_hist = MiouHistory(cfg.save_dir, cfg.eval_period)
+        ckpt = CheckpointManager(cfg.save_dir, cfg.save_period)
+
+        frozen = cfg.freeze_train
+        batch_size = cfg.freeze_batch_size if frozen else cfg.unfreeze_batch_size
+        schedule = self.lr_schedule(batch_size, total_epochs)
+        train_loader = loader_factory(train_ds, batch_size, True)
+        val_loader = loader_factory(val_ds, cfg.eval_batch_size, False)
+        history = {"train_loss": [], "val_loss": [], "miou": []}
+
+        for epoch in range(cfg.init_epoch, total_epochs):
+            if frozen and epoch >= cfg.freeze_epoch:
+                # unfreeze transition: batch size and scheduler rebuild
+                # (train.py:531-570)
+                frozen = False
+                batch_size = cfg.unfreeze_batch_size
+                schedule = self.lr_schedule(batch_size, total_epochs)
+                train_loader = loader_factory(train_ds, batch_size, True)
+            lr = schedule(epoch)
+            res = self.run_epoch(train_loader, val_loader, epoch, frozen, lr)
+            history["train_loss"].append(res.train_loss)
+            history["val_loss"].append(res.val_loss)
+            loss_hist.append_loss(epoch, res.train_loss, res.val_loss)
+            if miou_hist.should_eval(epoch):
+                miou = self.evaluate_miou(val_loader)["miou"]
+                miou_hist.append(epoch, miou)
+                history["miou"].append((epoch, miou))
+            ckpt.on_epoch_end(epoch, self.state, res.train_loss, res.val_loss,
+                              total_epochs)
+            log(f"Epoch {epoch + 1}/{total_epochs} lr={lr:.2e} "
+                f"loss={res.train_loss:.4f} val_loss={res.val_loss:.4f} "
+                f"f={res.train_f_score:.3f}/{res.val_f_score:.3f} "
+                f"({res.seconds:.1f}s)")
+        return history
+
+    def evaluate_miou(self, loader, num_classes: Optional[int] = None) -> Dict:
+        """Accumulate an on-device confusion matrix over a loader and
+        summarize (EvalCallback equivalent, utils/callbacks.py:153-200)."""
+        from cervical_tpu.metrics import summarize_hist
+        nc = num_classes or self.cfg.data.num_classes
+        hist = np.zeros((nc, nc), np.int64)
+        eval_fn = self._eval_step()
+        for images, labels in loader:
+            batch = shard_batch(self.mesh, (images, labels))
+            m = eval_fn(self.state, batch[0], batch[1])
+            hist += np.asarray(m["hist"], np.int64)
+        return summarize_hist(hist)

@@ -1,0 +1,102 @@
+"""Fusion trainer end-to-end tests on synthetic cohorts (SURVEY.md §4d)."""
+
+import numpy as np
+import jax
+import pytest
+
+from cervical_tpu.config import FusionTrainConfig
+from cervical_tpu.data.fusion_data import (make_synthetic_fusion, save_npz,
+                                           load_npz, subset)
+from cervical_tpu.data import splits as S
+from cervical_tpu.train.fusion_trainer import FusionTrainer
+
+
+def test_stratified_kfold_properties():
+    labels = np.array([0] * 10 + [1] * 10 + [2] * 5)
+    folds = list(S.stratified_kfold(labels, 5, seed=0))
+    assert len(folds) == 5
+    all_test = np.concatenate([t for _, t in folds])
+    assert sorted(all_test.tolist()) == list(range(25))  # partition
+    for train, test in folds:
+        assert set(train) & set(test) == set()
+        # each fold's test set has both big classes represented
+        assert 0 in labels[test] and 1 in labels[test]
+
+
+def test_train_test_split_stratified():
+    idx = np.arange(40)
+    labels = np.array([0] * 20 + [1] * 20)
+    tr, te = S.train_test_split(idx, 0.25, seed=1, stratify=labels)
+    assert len(te) == 10 and len(tr) == 30
+    assert (labels[te] == 0).sum() == 5
+
+
+def test_ratio_split():
+    train, val, test = S.ratio_split(list(range(100)), seed=0)
+    assert len(train) == 60 and len(val) == 20 and len(test) == 20
+    assert sorted(train + val + test) == list(range(100))
+
+
+def test_npz_roundtrip(tmp_path):
+    ds = make_synthetic_fusion(num_patients=6, feature_dim=32)
+    p = str(tmp_path / "cohort.npz")
+    save_npz(p, ds)
+    back = load_npz(p)
+    np.testing.assert_array_equal(back["labels"], ds["labels"])
+    np.testing.assert_allclose(back["feats"]["imgN"], ds["feats"]["imgN"])
+    assert back["ids"] == ds["ids"]
+
+
+def test_fusion_training_learns():
+    cfg = FusionTrainConfig(epochs=8, lr=3e-4, batch_size=16,
+                            epoch0_no_step=False)
+    ds = make_synthetic_fusion(num_patients=48, feature_dim=1024, noise=0.3)
+    trainer = FusionTrainer(cfg)
+    feats0 = {m: ds["feats"][m][:1] for m in cfg.modalities}
+    state = trainer.init_state(
+        {m: np.asarray(v) for m, v in feats0.items()}, jax.random.PRNGKey(0))
+    accs = []
+    for epoch in range(cfg.epochs):
+        state, rep = trainer.train_epoch(state, ds, epoch, cfg.lr)
+        accs.append(rep["acc_all"])
+    assert accs[-1] > 0.7, accs
+    # eval-mode prediction agrees broadly
+    final = trainer.predict(state["params"], ds)
+    assert final["acc_all"] > 0.7
+    assert final["confusion"].sum() == 48
+    assert {"precision", "recall", "f1", "tp", "fp"} <= set(final)
+
+
+def test_epoch0_no_step_keeps_params():
+    cfg = FusionTrainConfig(epochs=1, epoch0_no_step=True)
+    ds = make_synthetic_fusion(num_patients=8, feature_dim=64)
+    # model in_features must match synthetic feature dim
+    cfg.in_features = 64
+    trainer = FusionTrainer(cfg)
+    feats0 = {m: ds["feats"][m][:1] for m in cfg.modalities}
+    state = trainer.init_state(feats0, jax.random.PRNGKey(0))
+    before = jax.device_get(state["params"])
+    state, _ = trainer.train_epoch(state, ds, epoch=0, lr=1e-3)
+    after = jax.device_get(state["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)
+    # epoch 1 does update
+    state, _ = trainer.train_epoch(state, ds, epoch=1, lr=1e-3)
+    after2 = jax.device_get(state["params"])
+    assert any(np.abs(a - b).max() > 0 for a, b in
+               zip(jax.tree_util.tree_leaves(after),
+                   jax.tree_util.tree_leaves(after2)))
+
+
+@pytest.mark.slow
+def test_cross_validate_two_modal():
+    cfg = FusionTrainConfig(modalities=("imgN", "cli"), epochs=3, kfold=3,
+                            batch_size=16, epoch0_no_step=False,
+                            in_features=64)
+    ds = make_synthetic_fusion(num_patients=36, modalities=cfg.modalities,
+                               feature_dim=64, noise=0.2)
+    trainer = FusionTrainer(cfg)
+    out = trainer.cross_validate(ds, log=lambda *a: None)
+    assert len(out["folds"]) == 3
+    assert 0.0 <= out["mean_test_acc"] <= 1.0

@@ -1,0 +1,116 @@
+"""Pallas warp kernels vs. the gather reference implementation (interpret
+mode on CPU).  The gather path (ops/augment.py) is the semantics oracle; the
+pallas path must agree up to bf16 quantization and resampling-path
+differences at sharp edges."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cervical_tpu.ops import augment as A
+from cervical_tpu.ops import pallas_warp as PW
+
+B, S = 4, 64
+
+
+def _data(seed=0):
+    rng = np.random.default_rng(seed)
+    images = jnp.asarray(rng.integers(0, 256, (B, S, S, 3)), jnp.uint8)
+    labels = jnp.asarray(rng.integers(0, 5, (B, S, S)), jnp.uint8)
+    return images, labels
+
+
+def test_identity_exact():
+    images, labels = _data()
+    p = A.letterbox_params_like(B, (S, S), (S, S))
+    out_i, out_l = PW.augment_batch_pallas(images, labels, p, (S, S),
+                                           letterbox=True, interpret=True,
+                                           normalized=False)
+    ref_i, ref_l = A.augment_batch(images, labels, p, (S, S), letterbox=True)
+    assert np.abs(np.asarray(out_i, np.float32) - np.asarray(ref_i)).max() == 0
+    np.testing.assert_array_equal(np.asarray(out_l), np.asarray(ref_l))
+
+
+def test_scale_flip_paste_close():
+    images, labels = _data(1)
+    p = dict(A.sample_augment_params(jax.random.PRNGKey(1), B))
+    p["angle"] = jnp.zeros(B)
+    p["blur"] = jnp.zeros(B, bool)
+    out_i, out_l = PW.augment_batch_pallas(images, labels, p, (S, S),
+                                           interpret=True, normalized=False)
+    ref_i, ref_l = A.augment_batch(images, labels, p, (S, S))
+    d = np.abs(np.asarray(out_i, np.float32) - np.asarray(ref_i))
+    assert d.mean() < 1.0
+    assert (np.asarray(out_l) != np.asarray(ref_l)).mean() < 0.01
+
+
+def test_rotation_geometry_on_ramp():
+    """Bilinear is exact on linear images, so interior agreement on a ramp
+    proves the shear pipeline implements the same rotation map."""
+    yy, xx = np.mgrid[:S, :S]
+    ramp = np.stack([xx, yy, (xx + yy) / 2], -1).astype(np.float32) * 2
+    images = jnp.asarray(np.tile(ramp[None], (B, 1, 1, 1)))
+    labels = jnp.asarray((xx[None].repeat(B, 0) // 8).astype(np.uint8))
+    p = dict(A.letterbox_params_like(B, (S, S), (S, S)))
+    p["angle"] = jnp.array([3.0, -7.0, 10.0, 0.0])
+    out_i, out_l = PW.augment_batch_pallas(images, labels, p, (S, S),
+                                           letterbox=True, interpret=True,
+                                           normalized=False)
+    ref_i, ref_l = A.augment_batch(images, labels, p, (S, S), letterbox=True)
+    m = slice(12, 52)
+    d = np.abs(np.asarray(out_i, np.float32)[:, m, m] -
+               np.asarray(ref_i)[:, m, m])
+    assert d.max() < 1.0  # bf16 quantization only
+    mism = (np.asarray(out_l)[:, m, m] != np.asarray(ref_l)[:, m, m]).mean()
+    assert mism < 0.08  # nearest ties on band boundaries
+
+
+def test_rotation_fills_corners():
+    images = jnp.full((1, S, S, 3), 255, jnp.uint8)
+    labels = jnp.ones((1, S, S), jnp.uint8)
+    p = dict(A.letterbox_params_like(1, (S, S), (S, S)))
+    p["angle"] = jnp.array([10.0])
+    out_i, out_l = PW.augment_batch_pallas(images, labels, p, (S, S),
+                                           letterbox=True, interpret=True,
+                                           normalized=False)
+    got = np.asarray(out_i[0], np.float32)
+    assert np.allclose(got[S // 2, S // 2], 255.0, atol=2.0)
+    assert np.allclose(got[0, 0], 128.0, atol=1.0)
+    assert int(out_l[0, 0, 0]) == 0
+
+
+def test_photometric_matches_xla_path():
+    images, _ = _data(2)
+    planar = jnp.transpose(images, (0, 3, 1, 2)).astype(jnp.float32)
+    gains = jnp.asarray(np.random.default_rng(3).uniform(
+        0.8, 1.2, (B, 3)).astype(np.float32))
+    blur = jnp.array([True, False, True, False])
+    out = PW.photometric(planar, gains, blur, interpret=True,
+                         out_dtype=jnp.float32)
+    out = np.transpose(np.asarray(out), (0, 2, 3, 1)) * 255.0
+
+    ref = np.asarray(jax.vmap(A.hsv_jitter)(images.astype(jnp.float32), gains))
+    ref_blur = np.asarray(A.gaussian_blur(jnp.asarray(ref)))
+    ref = np.where(np.asarray(blur)[:, None, None, None], ref_blur, ref)
+    # interiors agree; borders differ by the reflect approximation
+    m = slice(3, S - 3)
+    d = np.abs(out[:, m, m] - ref[:, m, m])
+    assert np.median(d) < 2.0
+    assert d.mean() < 3.0
+
+
+def test_nonsquare_source_letterbox():
+    rng = np.random.default_rng(4)
+    images = jnp.asarray(rng.integers(0, 256, (B, 40, 64, 3)), jnp.uint8)
+    labels = jnp.asarray(rng.integers(0, 5, (B, 40, 64)), jnp.uint8)
+    p = A.letterbox_params_like(B, (40, 64), (S, S))
+    out_i, out_l = PW.augment_batch_pallas(images, labels, p, (S, S),
+                                           letterbox=True, interpret=True,
+                                           normalized=False)
+    ref_i, ref_l = A.augment_batch(images, labels, p, (S, S), letterbox=True)
+    got, ref = np.asarray(out_i, np.float32), np.asarray(ref_i)
+    # gray bars in the same rows
+    bar = np.all(ref == 128.0, axis=-1)
+    assert np.abs(got[bar] - 128.0).max() < 1.0
+    d = np.abs(got - ref)
+    assert d.mean() < 2.0

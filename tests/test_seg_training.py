@@ -1,0 +1,133 @@
+"""End-to-end segmentation training smoke tests on synthetic VOC data
+(SURVEY.md §4d): loss decreases, sharding works on the forced 8-device CPU
+mesh, checkpoints round-trip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cervical_tpu.config import SegTrainConfig, SegDataConfig
+from cervical_tpu.data.voc import VOCSegDataset, BatchLoader, make_synthetic_voc, read_split
+from cervical_tpu.train.seg_trainer import SegTrainer
+
+
+@pytest.fixture(scope="module")
+def voc_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("voc")
+    return make_synthetic_voc(str(root), num_images=16, size=48)
+
+
+def _cfg(tmp_path):
+    return SegTrainConfig(
+        data=SegDataConfig(input_shape=(48, 48), num_classes=5,
+                           scale_min=0.8, scale_max=1.2),
+        backbone="mobilenet",
+        dtype="float32",
+        save_dir=str(tmp_path / "logs"),
+        unfreeze_batch_size=8,
+        eval_batch_size=8,
+        init_lr=5e-3,
+        lr_decay_type="cos",
+    )
+
+
+def test_loader_shapes(voc_root):
+    ids = read_split(voc_root, "train")
+    ds = VOCSegDataset(voc_root, ids, stage_hw=(48, 48))
+    loader = BatchLoader(ds, 4, num_workers=2, seed=0)
+    batches = list(loader)
+    assert len(batches) == len(ids) // 4
+    imgs, lbls = batches[0]
+    assert imgs.shape == (4, 48, 48, 3) and imgs.dtype == np.uint8
+    assert lbls.shape == (4, 48, 48) and set(np.unique(lbls)) <= set(range(5))
+
+
+def test_training_reduces_loss(voc_root, tmp_path):
+    cfg = _cfg(tmp_path)
+    trainer = SegTrainer(cfg)
+    ids = read_split(voc_root, "train")
+    ds = VOCSegDataset(voc_root, ids, stage_hw=(48, 48))
+    loader = BatchLoader(ds, 8, num_workers=1, seed=0)
+
+    losses = []
+    step = trainer._train_step(frozen=False)
+    from cervical_tpu.ops import augment as A
+    from cervical_tpu.parallel import shard_batch
+    for ep in range(6):
+        for images, labels in loader:
+            k1, k2, trainer.rng = jax.random.split(trainer.rng, 3)
+            p = A.sample_augment_params(k1, images.shape[0], jitter=0.1,
+                                        scale_range=(0.9, 1.1))
+            b = shard_batch(trainer.mesh, (images, labels))
+            trainer.state, m = step(trainer.state, b[0], b[1], p,
+                                    jnp.asarray(5e-3), k2)
+            losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.8, losses
+
+
+def test_frozen_backbone_params_stay_fixed(voc_root, tmp_path):
+    cfg = _cfg(tmp_path)
+    trainer = SegTrainer(cfg)
+    ids = read_split(voc_root, "train")
+    ds = VOCSegDataset(voc_root, ids, stage_hw=(48, 48))
+    images, labels = next(iter(BatchLoader(ds, 8, num_workers=1)))
+
+    from cervical_tpu.ops import augment as A
+    from cervical_tpu.parallel import shard_batch
+    step = trainer._train_step(frozen=True)
+    before = jax.device_get(trainer.state.params["backbone"])
+    head_before = jax.device_get(trainer.state.params["cls_conv"])
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    p = A.sample_augment_params(k1, images.shape[0])
+    b = shard_batch(trainer.mesh, (images, labels))
+    trainer.state, _ = step(trainer.state, b[0], b[1], p, jnp.asarray(1e-2), k2)
+    after = jax.device_get(trainer.state.params["backbone"])
+    head_after = jax.device_get(trainer.state.params["cls_conv"])
+    # backbone unchanged, head moved
+    for a, c in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, c)
+    assert any(np.abs(a - c).max() > 0 for a, c in
+               zip(jax.tree_util.tree_leaves(head_before),
+                   jax.tree_util.tree_leaves(head_after)))
+
+
+def test_eval_and_miou(voc_root, tmp_path):
+    cfg = _cfg(tmp_path)
+    trainer = SegTrainer(cfg)
+    ids = read_split(voc_root, "val")
+    ds = VOCSegDataset(voc_root, ids, stage_hw=(48, 48))
+    loader = BatchLoader(ds, len(ids), shuffle=False, num_workers=1,
+                         drop_last=False)
+    summary = trainer.evaluate_miou(loader)
+    assert 0.0 <= summary["miou"] <= 1.0
+    assert summary["hist"].sum() == len(ids) * 48 * 48
+
+
+def test_batch_sharded_over_mesh(voc_root, tmp_path):
+    cfg = _cfg(tmp_path)
+    trainer = SegTrainer(cfg)
+    assert trainer.mesh.devices.size == 8  # forced host platform count
+    from cervical_tpu.parallel import shard_batch
+    imgs = np.zeros((8, 48, 48, 3), np.uint8)
+    sharded = shard_batch(trainer.mesh, imgs)
+    assert len(sharded.sharding.device_set) == 8
+
+
+def test_checkpoint_roundtrip(voc_root, tmp_path):
+    from cervical_tpu.train.checkpoints import CheckpointManager
+    cfg = _cfg(tmp_path)
+    trainer = SegTrainer(cfg)
+    mgr = CheckpointManager(cfg.save_dir, save_period=1)
+    saved = mgr.on_epoch_end(0, trainer.state, 1.0, 2.0)
+    assert len(saved) == 3  # periodic + best + last
+    restored, extra = mgr.restore("best_epoch_weights", trainer.state)
+    assert extra["val_loss"] == 2.0
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # best only improves
+    mgr.on_epoch_end(1, trainer.state, 1.0, 3.0)
+    _, extra2 = mgr.restore("best_epoch_weights", trainer.state)
+    assert extra2["val_loss"] == 2.0
