@@ -1,0 +1,170 @@
+"""Segmentation inference: letterboxed prediction, render modes, FPS bench,
+and StableHLO export.
+
+Reference: the ``DeeplabV3`` predictor class (``Segmentation/deeplabv3+/
+deeplab.py``) — ``detect_image`` with three visualization modes (:108-209),
+``get_miou_png`` (:304-350), ``get_FPS`` (:211-264) and ONNX export
+(:266-302).  The ONNX export becomes ``jax.export`` StableHLO (the portable
+TPU-native serialization).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cervical_tpu.config import SegTrainConfig
+from cervical_tpu.ops.image import (letterbox_params, preprocess_input,
+                                    resize_bilinear)
+
+# 21-color VOC palette head (deeplab.py:66-69)
+DEFAULT_COLORS = [
+    (0, 0, 0), (128, 0, 0), (0, 128, 0), (128, 128, 0), (0, 0, 128),
+    (128, 0, 128), (0, 128, 128), (128, 128, 128), (64, 0, 0), (192, 0, 0),
+    (64, 128, 0), (192, 128, 0), (64, 0, 128), (192, 0, 128), (64, 128, 128),
+    (192, 128, 128), (0, 64, 0), (128, 64, 0), (0, 192, 0), (128, 192, 0),
+    (0, 64, 128),
+]
+
+
+class SegPredictor:
+    """Load a trained DeepLab state and predict single images.
+
+    ``mix_type`` render modes (deeplab.py:149-209):
+      0 — blend the color mask with the original image;
+      1 — color mask only;
+      2 — keep only foreground pixels of the original (black background).
+    """
+
+    def __init__(self, cfg: SegTrainConfig, state, colors=None):
+        from cervical_tpu.train.seg_trainer import build_model
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        self.state = state
+        self.colors = colors or DEFAULT_COLORS
+        self._jit_forward = jax.jit(self._forward)
+
+    def _forward(self, images):
+        logits = self.model.apply(
+            {"params": self.state.params, "batch_stats": self.state.batch_stats},
+            images, train=False)
+        return jax.nn.softmax(logits, axis=-1)
+
+    # -- core ---------------------------------------------------------------
+    def predict_probs(self, image: np.ndarray) -> np.ndarray:
+        """Letterbox -> forward -> un-letterbox -> per-pixel class probs at
+        the original resolution (deeplab.py:108-148 / get_miou_png)."""
+        ih, iw = image.shape[:2]
+        h, w = self.cfg.data.input_shape
+        from cervical_tpu.ops.image import letterbox_image
+        staged = letterbox_image(jnp.asarray(image, jnp.float32), (h, w))
+        x = preprocess_input(staged)[None].astype(
+            jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32)
+        probs = np.asarray(self._jit_forward(x)[0], np.float32)
+        nh, nw, top, left = letterbox_params((ih, iw), (h, w))
+        probs = probs[top:top + nh, left:left + nw]
+        probs = np.asarray(resize_bilinear(jnp.asarray(probs), (ih, iw),
+                                           align_corners=False))
+        return probs
+
+    def predict_mask(self, image: np.ndarray) -> np.ndarray:
+        return self.predict_probs(image).argmax(axis=-1).astype(np.uint8)
+
+    # -- render modes ---------------------------------------------------------
+    def detect_image(self, image: np.ndarray, mix_type: int = 0,
+                     count: bool = False):
+        """Returns the rendered uint8 RGB image; optionally prints per-class
+        pixel counts (deeplab.py:152-163)."""
+        mask = self.predict_mask(image)
+        if count:
+            classes_nums = np.bincount(mask.reshape(-1),
+                                       minlength=self.cfg.data.num_classes)
+            print("classes_nums:", classes_nums.tolist())
+        colors = np.asarray(self.colors[:self.cfg.data.num_classes], np.uint8)
+        color_mask = colors[mask]
+        if mix_type == 0:
+            return (0.3 * color_mask + 0.7 * image).astype(np.uint8)
+        if mix_type == 1:
+            return color_mask
+        if mix_type == 2:
+            fg = (mask > 0)[..., None]
+            return (image * fg).astype(np.uint8)
+        raise ValueError(f"unknown mix_type {mix_type}")
+
+    def get_miou_png(self, image: np.ndarray) -> np.ndarray:
+        """Class-index mask at original resolution (deeplab.py:304-350)."""
+        return self.predict_mask(image)
+
+    # -- benchmarking ---------------------------------------------------------
+    def get_fps(self, image: np.ndarray, test_interval: int = 100) -> float:
+        """Seconds per image over ``test_interval`` runs (deeplab.py:211-264)."""
+        self.predict_probs(image)  # warmup/compile
+        t0 = time.time()
+        for _ in range(test_interval):
+            self.predict_probs(image)
+        return (time.time() - t0) / test_interval
+
+    def get_throughput(self, batch_size: int = 8, iters: int = 20) -> float:
+        """Batched images/sec — the TPU-meaningful figure the per-image FPS
+        loop (deeplab.py:211-264) underestimates."""
+        h, w = self.cfg.data.input_shape
+        x = jnp.zeros((batch_size, h, w, 3),
+                      jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32)
+        jax.block_until_ready(self._jit_forward(x))
+        t0 = time.time()
+        out = None
+        for _ in range(iters):
+            out = self._jit_forward(x)
+        np.asarray(out[0, 0, 0])  # force
+        return batch_size * iters / (time.time() - t0)
+
+    # -- export ---------------------------------------------------------------
+    def export_stablehlo(self, path: str, batch_size: int = 1):
+        """Serialize the inference function to portable StableHLO bytes via
+        ``jax.export`` (replaces convert_to_onnx, deeplab.py:266-302)."""
+        from jax import export as jax_export
+        h, w = self.cfg.data.input_shape
+        dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+        spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), dtype)
+        exported = jax_export.export(jax.jit(self._forward))(spec)
+        blob = exported.serialize()
+        with open(path, "wb") as f:
+            f.write(blob)
+        return path
+
+
+def evaluate_miou_dir(gt_dir: str, pred_dir: str, png_name_list,
+                      num_classes: int, name_classes=None,
+                      miou_out_path: Optional[str] = None):
+    """File-walking mIoU evaluation (``compute_mIoU``,
+    utils_metrics.py:120-193) + optional csv/plot dump (``show_results``,
+    :226-250)."""
+    import os
+    from PIL import Image
+    from cervical_tpu import metrics as M
+
+    hist = np.zeros((num_classes, num_classes), np.int64)
+    for name in png_name_list:
+        pred = np.array(Image.open(os.path.join(pred_dir, name + ".png")))
+        label = np.array(Image.open(os.path.join(gt_dir, name + ".png")))
+        if label.size != pred.size:
+            continue
+        hist += M.fast_hist(label, pred, num_classes)
+    summary = M.summarize_hist(
+        hist, name_classes or M.DEFAULT_SEG_CLASS_NAMES[:num_classes])
+    if miou_out_path:
+        import csv
+        import os as _os
+        _os.makedirs(miou_out_path, exist_ok=True)
+        with open(_os.path.join(miou_out_path, "confusion_matrix.csv"), "w",
+                  newline="") as f:
+            writer = csv.writer(f)
+            names = list(summary["names"])
+            writer.writerow([" "] + names)
+            for i, row in enumerate(summary["hist"]):
+                writer.writerow([names[i]] + [str(x) for x in row])
+    return summary

@@ -214,7 +214,11 @@ def rgb_to_hsv_cv2(rgb):
 
 
 def hsv_to_rgb_cv2(hsv):
-    """Inverse of :func:`rgb_to_hsv_cv2` (cv2 uint8-range conventions)."""
+    """Inverse of :func:`rgb_to_hsv_cv2` (cv2 uint8-range conventions).
+
+    Sextant selection uses nested ``where`` chains, not gathers — XLA:TPU
+    scalarizes per-pixel gathers (see ops/pallas_warp.py module docstring).
+    """
     h = hsv[..., 0] * 2.0  # degrees
     s = hsv[..., 1] / 255.0
     v = hsv[..., 2]
@@ -224,12 +228,15 @@ def hsv_to_rgb_cv2(hsv):
     m = v - c
     z = jnp.zeros_like(c)
     i = jnp.floor(hp).astype(jnp.int32) % 6
-    rgbs = jnp.stack([
-        jnp.stack([c, x, z], -1), jnp.stack([x, c, z], -1),
-        jnp.stack([z, c, x], -1), jnp.stack([z, x, c], -1),
-        jnp.stack([x, z, c], -1), jnp.stack([c, z, x], -1)], axis=0)
-    rgb = jnp.take_along_axis(rgbs, i[None, ..., None], axis=0)[0]
-    return rgb + m[..., None]
+
+    def sel(a0, a1, a2, a3, a4, a5):
+        return jnp.where(i == 0, a0, jnp.where(i == 1, a1, jnp.where(
+            i == 2, a2, jnp.where(i == 3, a3, jnp.where(i == 4, a4, a5)))))
+
+    r = sel(c, x, z, z, x, c) + m
+    g = sel(x, c, c, x, z, z) + m
+    b = sel(z, z, x, c, c, x) + m
+    return jnp.stack([r, g, b], axis=-1)
 
 
 def hsv_jitter(rgb, gains):

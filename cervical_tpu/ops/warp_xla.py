@@ -1,0 +1,167 @@
+"""XLA einsum/roll formulation of the fused augmentation warp.
+
+Third backend for the train-time warp (see ``ops/augment.py`` for the gather
+oracle and ``ops/pallas_warp.py`` for the Mosaic kernels).  Chosen by
+profiling on the target v5e: XLA scalarizes the 2-D gather (~33 img/s) and
+this environment executes Mosaic compute ~1000x below roofline, while dense
+XLA batched matmuls, elementwise chains, and static rolls run at full speed.
+So the warp becomes:
+
+* vertical + horizontal 1-D resample (scale + flip + paste + gray fill) as
+  two batched einsums against per-image interpolation matrices built from
+  iota/compares — MXU work, ~2 x 512^3 x 3 bf16 FLOPs per image;
+* rotation as three barrel-shifted shears (Paeth), each a ladder of static
+  ``jnp.roll`` + per-row/column bit masks — VPU/bandwidth work, O(log
+  max_shift) passes;
+* HSV jitter (one fused elementwise pass) + conditional separable 5x5 blur
+  (depthwise convs) from :mod:`cervical_tpu.ops.augment`.
+
+Semantics match the gather oracle exactly up to bf16 rounding and the
+documented multi-pass resampling differences of the shear rotation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cervical_tpu.ops import augment as aug
+from cervical_tpu.ops.pallas_warp import make_warp_params, NPARAMS  # noqa: F401
+from cervical_tpu.ops.pallas_warp import (P_AY, P_BY, P_AX, P_BX, P_TANH,
+                                          P_SINT, P_ANGLE, P_FILL)
+
+MAX_SHIFT = 64  # covers +-10 deg rotation shears on a 512 canvas
+
+
+def _interp_matrices(a, b, out_size: int, in_size: int, nearest: bool):
+    """Batched (B, out, in) 2-tap interpolation weights + (B, out) in-bounds.
+
+    Same construction as the pallas kernel's ``_interp_weights`` but
+    vectorized over the batch; bf16 output feeds the MXU.
+    """
+    o = jnp.arange(out_size, dtype=jnp.float32)[None, :, None]     # (1,O,1)
+    i = jnp.arange(in_size, dtype=jnp.int32)[None, None, :]        # (1,1,I)
+    src = a[:, None, None] * o + b[:, None, None]                  # (B,O,1)
+    inb = ((src >= -0.5) & (src <= in_size - 0.5)).astype(jnp.float32)
+    if nearest:
+        idx = jnp.clip(jnp.round(src), 0, in_size - 1).astype(jnp.int32)
+        w = (i == idx).astype(jnp.float32)
+    else:
+        y0 = jnp.floor(src)
+        f = src - y0
+        i0 = jnp.clip(y0, 0, in_size - 1).astype(jnp.int32)
+        i1 = jnp.clip(y0 + 1, 0, in_size - 1).astype(jnp.int32)
+        w = ((i == i0).astype(jnp.float32) * (1.0 - f)
+             + (i == i1).astype(jnp.float32) * f)
+    w = w * inb
+    return w.astype(jnp.bfloat16), inb[..., 0]
+
+
+def _resample(images, wp, out_size: int, nearest: bool, fill):
+    """(B, H, W, C) -> (B, S, S, C) via two batched einsums with fill."""
+    b, ih, iw, c = images.shape
+    wy, inb_y = _interp_matrices(wp[:, P_AY], wp[:, P_BY], out_size, ih, nearest)
+    wx, inb_x = _interp_matrices(wp[:, P_AX], wp[:, P_BX], out_size, iw, nearest)
+    x = images.astype(jnp.bfloat16)
+    v = jnp.einsum("boi,biwc->bowc", wy, x,
+                   preferred_element_type=jnp.float32)
+    v = v + (fill[:, None] * (1.0 - inb_y))[:, :, None, None]
+    h = jnp.einsum("bpw,bhwc->bhpc", wx, v.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    h = h + (fill[:, None] * (1.0 - inb_x))[:, None, :, None]
+    return h.astype(jnp.bfloat16)
+
+
+def _barrel_shift(x, shift, axis: int, fill, nearest: bool):
+    """out[..] = x[.. - shift ..] along ``axis`` with per-slice shifts.
+
+    ``shift``: (B, S) float32 — per row (axis=2) or per column (axis=1).
+    Static-roll barrel ladder + fractional lerp + out-of-range fill mask.
+    """
+    b = x.shape[0]
+    size = x.shape[axis]
+    if nearest:
+        s_int = jnp.round(shift)
+        frac = None
+    else:
+        s_int = jnp.floor(shift)
+        frac = shift - s_int
+    u = jnp.clip(s_int, -MAX_SHIFT, MAX_SHIFT - 1).astype(jnp.int32) + MAX_SHIFT
+    # shift along W varies per ROW -> mask dims (B,H,1,1); along H varies per
+    # COLUMN -> (B,1,W,1)
+    mshape = (b, size, 1, 1) if axis == 2 else (b, 1, size, 1)
+
+    y = jnp.roll(x, -MAX_SHIFT, axis=axis)
+    for k in range(7):
+        bit = ((u >> k) & 1).astype(bool).reshape(mshape)
+        y = jnp.where(bit, jnp.roll(y, 1 << k, axis=axis), y)
+    if frac is not None:
+        f = frac.reshape((b, size, 1, 1) if axis == 2 else (b, 1, size, 1))
+        y = (y.astype(jnp.float32) * (1.0 - f)
+             + jnp.roll(y, 1, axis=axis).astype(jnp.float32) * f).astype(x.dtype)
+    # validity: 0 <= coord - shift <= size-1 along the shifted axis
+    coord = jnp.arange(size, dtype=jnp.float32)
+    if axis == 2:
+        cs = coord[None, None, :] - shift[:, :, None]      # (B,H,W)
+        valid = ((cs >= -0.5) & (cs <= size - 0.5))[..., None]
+    else:
+        cs = coord[None, :, None] - shift[:, None, :]      # (B,H,W)
+        valid = ((cs >= -0.5) & (cs <= size - 0.5))[..., None]
+    return jnp.where(valid, y, fill.reshape(b, 1, 1, 1).astype(x.dtype))
+
+
+def _rotate(images, wp, nearest: bool, fill):
+    """Paeth 3-shear rotation about the canvas center (cv2 semantics via the
+    sign convention baked into make_warp_params)."""
+    b, s, _, _ = images.shape
+    c = float(s // 2)
+    grid = jnp.arange(s, dtype=jnp.float32) - c
+    tanh = wp[:, P_TANH][:, None]
+    sint = wp[:, P_SINT][:, None]
+    sh_x = -tanh * grid[None, :]   # per row (H): shift along W
+    sh_y = sint * grid[None, :]    # per column (W): shift along H
+    x = _barrel_shift(images, sh_x, 2, fill, nearest)
+    x = _barrel_shift(x, sh_y, 1, fill, nearest)
+    x = _barrel_shift(x, sh_x, 2, fill, nearest)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("dst_hw", "letterbox",
+                                             "normalized", "rotate"))
+def augment_batch_einsum(images, labels, params, dst_hw: Tuple[int, int],
+                         letterbox: bool = False, normalized: bool = True,
+                         rotate: bool = True):
+    """Fast-path equivalent of :func:`cervical_tpu.ops.augment.augment_batch`.
+
+    Returns (images (B, S, S, 3) bf16 — [0,1] if normalized else [0,255] —
+    labels (B, S, S) int32).
+    """
+    s = dst_hw[0]
+    wp = make_warp_params(params, images.shape[1:3], dst_hw,
+                          letterbox=letterbox)
+    fill = wp[:, P_FILL]
+
+    img = _resample(images, wp, s, nearest=False, fill=fill)
+    lbl = _resample(labels[..., None], wp, s, nearest=True,
+                    fill=jnp.zeros_like(fill))
+
+    if rotate and not letterbox:
+        img = _rotate(img, wp, nearest=False, fill=fill)
+        lbl = _rotate(lbl, wp, nearest=True, fill=jnp.zeros_like(fill))
+    lbl = jnp.round(lbl.astype(jnp.float32))[..., 0].astype(jnp.int32)
+
+    if letterbox:
+        out = img
+    else:
+        # hsv_jitter is written per-image; vmap over the batch
+        out = jax.vmap(aug.hsv_jitter)(img.astype(jnp.float32), params["gains"])
+        blurred = aug.gaussian_blur(out)
+        out = jnp.where(params["blur"][:, None, None, None], blurred, out)
+        out = out.astype(jnp.bfloat16)
+    if normalized:
+        out = (out.astype(jnp.float32) / 255.0).astype(jnp.bfloat16)
+    return out, lbl

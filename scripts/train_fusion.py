@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Train the multimodal fusion classifier with stratified-K-fold CV.
+
+Replaces the 11 reference drivers (Four_Modal/my_train(full).py,
+Three_Modal/train(NAL|NAC|NLC|ALC).py, Two_Modal/train(..).py): the modality
+subset is a flag.
+
+Usage:
+    python scripts/train_fusion.py --cohort cohort.npz \
+        --modalities '["imgN","imgA","imgL","cli"]' [--epochs 180] ...
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main(argv):
+    from cervical_tpu.config import (FusionTrainConfig, load_config,
+                                     parse_cli_overrides)
+    from cervical_tpu.data.fusion_data import load_npz
+    from cervical_tpu.train.fusion_trainer import FusionTrainer
+    from cervical_tpu.utils import show_config
+
+    overrides = parse_cli_overrides(argv)
+    cohort_path = overrides.pop("cohort", None)
+    cfg_path = overrides.pop("config", None)
+    cfg = load_config(FusionTrainConfig, cfg_path, overrides)
+    cfg.arity_defaults()
+    show_config(**{k: getattr(cfg, k) for k in
+                   ("modalities", "epochs", "lr", "batch_size", "kfold",
+                    "inner_test_size", "weight_decay", "lr_step", "mix",
+                    "add_mse_loss_of_mae")})
+    if cohort_path is None:
+        raise SystemExit("--cohort path/to/cohort.npz is required "
+                         "(build one with scripts/build_graphs.py)")
+    ds = load_npz(cohort_path)
+    ds["feats"] = {m: ds["feats"][m] for m in cfg.modalities}
+
+    trainer = FusionTrainer(cfg)
+    result = trainer.cross_validate(ds)
+    print(f"mean test accuracy over folds: {result['mean_test_acc']:.4f}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
