@@ -41,9 +41,16 @@ GRAY_FILL = 128.0  # reference canvas/border fill (dataloader.py:106,130)
 
 def sample_augment_params(rng, batch_size: int, jitter=0.3, scale_range=(0.25, 2.0),
                           hue=0.1, sat=0.7, val=0.3, flip_p=0.5, blur_p=0.25,
-                          rotate_p=0.25, max_rotation=10):
+                          rotate_p=0.25, max_rotation=10,
+                          rotate_prefix: int | None = None):
     """Per-image augmentation parameters, mirroring the RNG draws of
     ``get_random_data`` (dataloader.py:82-137).
+
+    ``rotate_prefix``: if set, exactly the first K samples rotate instead of
+    a per-sample Bernoulli(rotate_p) draw.  Because the loader shuffles batch
+    contents every epoch, each *image's* marginal rotation probability stays
+    K/B; pair with ``augment_batch_einsum(rotate_capacity=K)`` so the
+    3-shear rotation only runs on that prefix.
 
     Returns a dict of (B,)-shaped arrays; pass to :func:`augment_batch`.
     """
@@ -57,7 +64,10 @@ def sample_augment_params(rng, batch_size: int, jitter=0.3, scale_range=(0.25, 2
     dx_frac = u(ks[4], 0.0, 1.0)
     dy_frac = u(ks[4] + 1, 0.0, 1.0)
     blur = jax.random.bernoulli(ks[5], blur_p, (batch_size,))
-    rot_draw = jax.random.bernoulli(ks[6], rotate_p, (batch_size,))
+    if rotate_prefix is None:
+        rot_draw = jax.random.bernoulli(ks[6], rotate_p, (batch_size,))
+    else:
+        rot_draw = jnp.arange(batch_size) < rotate_prefix
     angle = jax.random.randint(ks[6], (batch_size,), -max_rotation,
                                max_rotation + 1).astype(jnp.float32)
     angle = jnp.where(rot_draw, angle, 0.0)

@@ -76,11 +76,15 @@ def _resample(images, wp, out_size: int, nearest: bool, fill):
     return h.astype(jnp.bfloat16)
 
 
-def _barrel_shift(x, shift, axis: int, fill, nearest: bool):
+def _barrel_shift(x, shift, axis: int, fill, nearest: bool,
+                  max_shift: int = MAX_SHIFT):
     """out[..] = x[.. - shift ..] along ``axis`` with per-slice shifts.
 
     ``shift``: (B, S) float32 — per row (axis=2) or per column (axis=1).
-    Static-roll barrel ladder + fractional lerp + out-of-range fill mask.
+    Static-roll barrel ladder (ceil(log2(2*max_shift)) stages) + fractional
+    lerp + out-of-range fill mask.  Compute stays in ``x.dtype`` (bf16 on the
+    fast path) — each stage is a roll fused with a select, so cost ~=
+    stages x 2 passes over the array.
     """
     b = x.shape[0]
     size = x.shape[axis]
@@ -90,55 +94,133 @@ def _barrel_shift(x, shift, axis: int, fill, nearest: bool):
     else:
         s_int = jnp.floor(shift)
         frac = shift - s_int
-    u = jnp.clip(s_int, -MAX_SHIFT, MAX_SHIFT - 1).astype(jnp.int32) + MAX_SHIFT
+    u = jnp.clip(s_int, -max_shift, max_shift - 1).astype(jnp.int32) + max_shift
+    nbits = max(1, (2 * max_shift - 1).bit_length())
     # shift along W varies per ROW -> mask dims (B,H,1,1); along H varies per
     # COLUMN -> (B,1,W,1)
     mshape = (b, size, 1, 1) if axis == 2 else (b, 1, size, 1)
 
-    y = jnp.roll(x, -MAX_SHIFT, axis=axis)
-    for k in range(7):
+    y = jnp.roll(x, -max_shift, axis=axis)
+    for k in range(nbits):
         bit = ((u >> k) & 1).astype(bool).reshape(mshape)
         y = jnp.where(bit, jnp.roll(y, 1 << k, axis=axis), y)
     if frac is not None:
-        f = frac.reshape((b, size, 1, 1) if axis == 2 else (b, 1, size, 1))
-        y = (y.astype(jnp.float32) * (1.0 - f)
-             + jnp.roll(y, 1, axis=axis).astype(jnp.float32) * f).astype(x.dtype)
+        f = frac.astype(x.dtype).reshape(mshape)
+        one = jnp.asarray(1.0, x.dtype)
+        y = y * (one - f) + jnp.roll(y, 1, axis=axis) * f
     # validity: 0 <= coord - shift <= size-1 along the shifted axis
     coord = jnp.arange(size, dtype=jnp.float32)
     if axis == 2:
         cs = coord[None, None, :] - shift[:, :, None]      # (B,H,W)
-        valid = ((cs >= -0.5) & (cs <= size - 0.5))[..., None]
     else:
         cs = coord[None, :, None] - shift[:, None, :]      # (B,H,W)
-        valid = ((cs >= -0.5) & (cs <= size - 0.5))[..., None]
+    valid = ((cs >= -0.5) & (cs <= size - 0.5))[..., None]
     return jnp.where(valid, y, fill.reshape(b, 1, 1, 1).astype(x.dtype))
 
 
-def _rotate(images, wp, nearest: bool, fill):
+def _barrel_shift_u8(x, shift, axis: int, fill_u8: int, nearest: bool,
+                     max_shift: int):
+    """uint8 barrel shifter: integer roll ladder + fixed-point fractional
+    lerp + fill mask.  Half the HBM traffic of the bf16 ladder, and faithful
+    to the reference chain, which quantizes to uint8 between every PIL/cv2
+    step."""
+    b = x.shape[0]
+    size = x.shape[axis]
+    if nearest:
+        s_int = jnp.round(shift)
+        w8 = None
+    else:
+        s_int = jnp.floor(shift)
+        w8 = jnp.round((shift - s_int) * 256.0).astype(jnp.int32)
+    u = jnp.clip(s_int, -max_shift, max_shift - 1).astype(jnp.int32) + max_shift
+    nbits = max(1, (2 * max_shift - 1).bit_length())
+    mshape = (b, size, 1, 1) if axis == 2 else (b, 1, size, 1)
+
+    y = jnp.roll(x, -max_shift, axis=axis)
+    for k in range(nbits):
+        bit = ((u >> k) & 1).astype(bool).reshape(mshape)
+        y = jnp.where(bit, jnp.roll(y, 1 << k, axis=axis), y)
+    if w8 is not None:
+        w = w8.reshape(mshape)
+        y32 = y.astype(jnp.int32)
+        y_next = jnp.roll(y, 1, axis=axis).astype(jnp.int32)
+        y = ((y32 * (256 - w) + y_next * w + 128) >> 8).astype(jnp.uint8)
+    coord = jnp.arange(size, dtype=jnp.float32)
+    if axis == 2:
+        cs = coord[None, None, :] - shift[:, :, None]
+    else:
+        cs = coord[None, :, None] - shift[:, None, :]
+    valid = ((cs >= -0.5) & (cs <= size - 0.5))[..., None]
+    return jnp.where(valid, y, jnp.asarray(fill_u8, jnp.uint8))
+
+
+def _rotate_u8(images_u8, wp, nearest: bool, fill_u8: int,
+               max_angle_deg: float = 10.0):
+    """uint8 Paeth 3-shear rotation (see :func:`_rotate`)."""
+    b, s, _, _ = images_u8.shape
+    c = float(s // 2)
+    rad = np.deg2rad(max_angle_deg)
+    ms_x = int(np.ceil(np.tan(rad / 2) * (s - c))) + 2
+    ms_y = int(np.ceil(np.sin(rad) * (s - c))) + 2
+    grid = jnp.arange(s, dtype=jnp.float32) - c
+    tanh = wp[:, P_TANH][:, None]
+    sint = wp[:, P_SINT][:, None]
+    sh_x = -tanh * grid[None, :]
+    sh_y = sint * grid[None, :]
+    x = _barrel_shift_u8(images_u8, sh_x, 2, fill_u8, nearest, ms_x)
+    x = _barrel_shift_u8(x, sh_y, 1, fill_u8, nearest, ms_y)
+    x = _barrel_shift_u8(x, sh_x, 2, fill_u8, nearest, ms_x)
+    return x
+
+
+def _rotate(images, wp, nearest: bool, fill, max_angle_deg: float = 10.0):
     """Paeth 3-shear rotation about the canvas center (cv2 semantics via the
-    sign convention baked into make_warp_params)."""
+    sign convention baked into make_warp_params).
+
+    Barrel widths are sized from the worst-case angle: the x-shears shift by
+    at most tan(max/2) * size/2, the y-shear by sin(max) * size/2.
+    """
     b, s, _, _ = images.shape
     c = float(s // 2)
+    rad = np.deg2rad(max_angle_deg)
+    ms_x = int(np.ceil(np.tan(rad / 2) * (s - c))) + 2
+    ms_y = int(np.ceil(np.sin(rad) * (s - c))) + 2
     grid = jnp.arange(s, dtype=jnp.float32) - c
     tanh = wp[:, P_TANH][:, None]
     sint = wp[:, P_SINT][:, None]
     sh_x = -tanh * grid[None, :]   # per row (H): shift along W
     sh_y = sint * grid[None, :]    # per column (W): shift along H
-    x = _barrel_shift(images, sh_x, 2, fill, nearest)
-    x = _barrel_shift(x, sh_y, 1, fill, nearest)
-    x = _barrel_shift(x, sh_x, 2, fill, nearest)
+    x = _barrel_shift(images, sh_x, 2, fill, nearest, ms_x)
+    x = _barrel_shift(x, sh_y, 1, fill, nearest, ms_y)
+    x = _barrel_shift(x, sh_x, 2, fill, nearest, ms_x)
     return x
 
 
+def rotation_first_order(angles: "np.ndarray") -> "np.ndarray":
+    """Host-side permutation putting rotating samples first.
+
+    Training batches are order-free, so the loader can apply this permutation
+    to (images, labels, params) and pass ``rotate_capacity`` to
+    :func:`augment_batch_einsum` — the 3-shear barrels then run on a fixed
+    prefix instead of the whole batch (only ~25% of images rotate,
+    dataloader.py:125).
+    """
+    angles = np.asarray(angles)
+    return np.argsort(angles == 0, kind="stable")
+
+
 @functools.partial(jax.jit, static_argnames=("dst_hw", "letterbox",
-                                             "normalized", "rotate"))
+                                             "normalized", "rotate",
+                                             "rotate_capacity"))
 def augment_batch_einsum(images, labels, params, dst_hw: Tuple[int, int],
                          letterbox: bool = False, normalized: bool = True,
-                         rotate: bool = True):
+                         rotate: bool = True, rotate_capacity: int = 0):
     """Fast-path equivalent of :func:`cervical_tpu.ops.augment.augment_batch`.
 
-    Returns (images (B, S, S, 3) bf16 — [0,1] if normalized else [0,255] —
-    labels (B, S, S) int32).
+    ``rotate_capacity`` > 0 restricts the shear rotation to the first K
+    samples (use with :func:`rotation_first_order`); 0 rotates the full
+    batch.  Returns (images (B, S, S, 3) bf16 — [0,1] if normalized else
+    [0,255] — labels (B, S, S) int32).
     """
     s = dst_hw[0]
     wp = make_warp_params(params, images.shape[1:3], dst_hw,
@@ -150,8 +232,14 @@ def augment_batch_einsum(images, labels, params, dst_hw: Tuple[int, int],
                     fill=jnp.zeros_like(fill))
 
     if rotate and not letterbox:
-        img = _rotate(img, wp, nearest=False, fill=fill)
-        lbl = _rotate(lbl, wp, nearest=True, fill=jnp.zeros_like(fill))
+        k = rotate_capacity if rotate_capacity > 0 else img.shape[0]
+        img_u8 = jnp.clip(jnp.round(img[:k].astype(jnp.float32)),
+                          0, 255).astype(jnp.uint8)
+        img_r = _rotate_u8(img_u8, wp[:k], nearest=False, fill_u8=128)
+        lbl_r = _rotate_u8(lbl[:k].astype(jnp.uint8), wp[:k], nearest=True,
+                           fill_u8=0)
+        img = jnp.concatenate([img_r.astype(jnp.bfloat16), img[k:]], axis=0)
+        lbl = jnp.concatenate([lbl_r.astype(lbl.dtype), lbl[k:]], axis=0)
     lbl = jnp.round(lbl.astype(jnp.float32))[..., 0].astype(jnp.int32)
 
     if letterbox:

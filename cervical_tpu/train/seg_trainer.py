@@ -35,7 +35,7 @@ from cervical_tpu import losses
 from cervical_tpu.config import SegTrainConfig
 from cervical_tpu.models.deeplab import DeepLab
 from cervical_tpu.ops import augment as aug_ops
-from cervical_tpu.ops.image import one_hot_with_ignore, preprocess_input
+from cervical_tpu.ops.image import one_hot_with_ignore
 from cervical_tpu.metrics import confusion_matrix_jax
 from cervical_tpu.parallel import make_mesh, shard_batch
 from cervical_tpu.train import schedules
@@ -114,12 +114,18 @@ def make_train_step(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
     h, w = cfg.data.input_shape
     nc = cfg.data.num_classes
 
+    from cervical_tpu.ops.warp_xla import augment_batch_einsum
+
     @jax.jit
     def step(state: TrainState, images, labels, aug_params, lr, rng):
-        images, labels = aug_ops.augment_batch(
-            images, labels, aug_params, (h, w), letterbox=False)
-        images = preprocess_input(images).astype(_dtype(cfg))
-        labels = jnp.minimum(labels.astype(jnp.int32), nc)
+        # fused on-device augmentation (einsum warp backend — see
+        # ops/warp_xla.py); returns normalized bf16 images + int32 labels.
+        # rotation runs on the fixed prefix sampled with rotate_prefix.
+        images, labels = augment_batch_einsum(
+            images, labels, aug_params, (h, w), letterbox=False,
+            rotate_capacity=max(1, images.shape[0] // 4))
+        images = images.astype(_dtype(cfg))
+        labels = jnp.minimum(labels, nc)
         one_hot = one_hot_with_ignore(labels, nc)
 
         def loss_fn(params):
@@ -151,14 +157,16 @@ def make_eval_step(cfg: SegTrainConfig, model: DeepLab):
     h, w = cfg.data.input_shape
     nc = cfg.data.num_classes
 
+    from cervical_tpu.ops.warp_xla import augment_batch_einsum
+
     @jax.jit
     def step(state: TrainState, images, labels):
         lp = aug_ops.letterbox_params_like(images.shape[0],
                                            images.shape[1:3], (h, w))
-        images, labels = aug_ops.augment_batch(images, labels, lp, (h, w),
-                                               letterbox=True)
-        images = preprocess_input(images).astype(_dtype(cfg))
-        labels = jnp.minimum(labels.astype(jnp.int32), nc)
+        images, labels = augment_batch_einsum(images, labels, lp, (h, w),
+                                              letterbox=True)
+        images = images.astype(_dtype(cfg))
+        labels = jnp.minimum(labels, nc)
         one_hot = one_hot_with_ignore(labels, nc)
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
@@ -224,7 +232,8 @@ class SegTrainer:
                 pk, images.shape[0], jitter=self.cfg.data.jitter,
                 scale_range=(self.cfg.data.scale_min, self.cfg.data.scale_max),
                 hue=self.cfg.data.hue, sat=self.cfg.data.sat,
-                val=self.cfg.data.val)
+                val=self.cfg.data.val,
+                rotate_prefix=max(1, images.shape[0] // 4))
             batch = shard_batch(self.mesh, (images, labels))
             self.state, m = step_fn(self.state, batch[0], batch[1],
                                     params_aug, jnp.asarray(lr), dk)

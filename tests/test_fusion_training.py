@@ -48,9 +48,9 @@ def test_npz_roundtrip(tmp_path):
 
 
 def test_fusion_training_learns():
-    cfg = FusionTrainConfig(epochs=8, lr=3e-4, batch_size=16,
-                            epoch0_no_step=False)
-    ds = make_synthetic_fusion(num_patients=48, feature_dim=1024, noise=0.3)
+    cfg = FusionTrainConfig(epochs=6, lr=5e-4, batch_size=16,
+                            epoch0_no_step=False, in_features=256)
+    ds = make_synthetic_fusion(num_patients=48, feature_dim=256, noise=0.3)
     trainer = FusionTrainer(cfg)
     feats0 = {m: ds["feats"][m][:1] for m in cfg.modalities}
     state = trainer.init_state(
@@ -91,12 +91,12 @@ def test_epoch0_no_step_keeps_params():
 
 @pytest.mark.slow
 def test_cross_validate_two_modal():
-    cfg = FusionTrainConfig(modalities=("imgN", "cli"), epochs=3, kfold=3,
+    cfg = FusionTrainConfig(modalities=("imgN", "cli"), epochs=2, kfold=2,
                             batch_size=16, epoch0_no_step=False,
                             in_features=64)
-    ds = make_synthetic_fusion(num_patients=36, modalities=cfg.modalities,
+    ds = make_synthetic_fusion(num_patients=24, modalities=cfg.modalities,
                                feature_dim=64, noise=0.2)
     trainer = FusionTrainer(cfg)
     out = trainer.cross_validate(ds, log=lambda *a: None)
-    assert len(out["folds"]) == 3
+    assert len(out["folds"]) == 2
     assert 0.0 <= out["mean_test_acc"] <= 1.0

@@ -27,7 +27,7 @@ def _cfg(tmp_path):
         save_dir=str(tmp_path / "logs"),
         unfreeze_batch_size=8,
         eval_batch_size=8,
-        init_lr=5e-3,
+        init_lr=8e-3,
         lr_decay_type="cos",
     )
 
@@ -61,9 +61,10 @@ def test_training_reduces_loss(voc_root, tmp_path):
                                         scale_range=(0.9, 1.1))
             b = shard_batch(trainer.mesh, (images, labels))
             trainer.state, m = step(trainer.state, b[0], b[1], p,
-                                    jnp.asarray(5e-3), k2)
+                                    jnp.asarray(2e-3), k2)
             losses.append(float(m["loss"]))
-    assert losses[-1] < losses[0] * 0.8, losses
+    # 6 short epochs on synthetic blobs: demand a clear downward trend
+    assert np.mean(losses[-2:]) < np.mean(losses[:2]) * 0.85, losses
 
 
 def test_frozen_backbone_params_stay_fixed(voc_root, tmp_path):
