@@ -45,31 +45,55 @@ class VOCSegDataset:
     Images are staged at a fixed ``stage_hw`` (host bilinear/nearest resize —
     identity for this dataset, whose images are natively 512x512 per the
     labelbox pipeline) so every batch has one static shape for the device
-    warp.
+    warp.  Decoding prefers the native threaded C++ loader
+    (:mod:`cervical_tpu.native`), falling back to PIL.
     """
 
     def __init__(self, dataset_path: str, ids: Sequence[str],
-                 stage_hw: Tuple[int, int] = (512, 512)):
+                 stage_hw: Tuple[int, int] = (512, 512),
+                 use_native: bool = True):
         self.dataset_path = dataset_path
         self.ids = list(ids)
         self.stage_hw = stage_hw
+        self.use_native = use_native
 
     def __len__(self):
         return len(self.ids)
 
-    def load(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+    def paths(self, idx: int) -> Tuple[str, str]:
         name = self.ids[idx]
-        jpg = Image.open(os.path.join(
-            self.dataset_path, "VOC2007", "JPEGImages", name + ".jpg"))
-        png = Image.open(os.path.join(
-            self.dataset_path, "VOC2007", "SegmentationClass", name + ".png"))
-        jpg = cvt_rgb(jpg)
+        return (os.path.join(self.dataset_path, "VOC2007", "JPEGImages",
+                             name + ".jpg"),
+                os.path.join(self.dataset_path, "VOC2007",
+                             "SegmentationClass", name + ".png"))
+
+    def load(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        jpg_path, png_path = self.paths(idx)
+        jpg = cvt_rgb(Image.open(jpg_path))
+        png = Image.open(png_path)
         h, w = self.stage_hw
         if jpg.size != (w, h):
             jpg = jpg.resize((w, h), Image.BILINEAR)
         if png.size != (w, h):
             png = png.resize((w, h), Image.NEAREST)
         return np.asarray(jpg, np.uint8), np.asarray(png, np.uint8)
+
+    def load_batch(self, idxs) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode a whole batch; native C++ path when available."""
+        if self.use_native:
+            from cervical_tpu import native
+            if native.available():
+                jpgs, pngs = zip(*(self.paths(int(i)) for i in idxs))
+                imgs, lbls, failures = native.load_batch(
+                    list(jpgs), list(pngs), self.stage_hw)
+                if failures == 0:
+                    return imgs, lbls
+        h, w = self.stage_hw
+        imgs = np.empty((len(idxs), h, w, 3), np.uint8)
+        lbls = np.empty((len(idxs), h, w), np.uint8)
+        for j, i in enumerate(idxs):
+            imgs[j], lbls[j] = self.load(int(i))
+        return imgs, lbls
 
 
 class BatchLoader:
@@ -107,13 +131,7 @@ class BatchLoader:
         batches = self._batches()
         stop = threading.Event()
 
-        def load_batch(idxs):
-            h, w = self.ds.stage_hw
-            imgs = np.empty((len(idxs), h, w, 3), np.uint8)
-            lbls = np.empty((len(idxs), h, w), np.uint8)
-            for j, i in enumerate(idxs):
-                imgs[j], lbls[j] = self.ds.load(int(i))
-            return imgs, lbls
+        load_batch = self.ds.load_batch
 
         if self.num_workers <= 1:
             for idxs in batches:

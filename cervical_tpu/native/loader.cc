@@ -1,0 +1,197 @@
+// Native threaded batch loader: JPEG/PNG decode + staging resize.
+//
+// TPU-native replacement for the reference's torch DataLoader worker
+// processes (Segmentation/deeplabv3+/train.py:507-512 — num_workers=4,
+// pin_memory): the python loop only shuffles indices; this extension decodes
+// a whole batch with libjpeg/libpng across a std::thread pool and writes
+// fixed-shape uint8 arrays straight into caller-provided (numpy) buffers.
+// Exposed through ctypes (plain C ABI), so calls release the GIL for the
+// entire batch.
+//
+// Build: see cervical_tpu/native/__init__.py (g++ -O3 -shared -ljpeg -lpng).
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
+#include <csetjmp>
+
+namespace {
+
+struct Image {
+  std::vector<uint8_t> data;  // interleaved
+  int h = 0, w = 0, c = 0;
+};
+
+bool read_file(const char* path, std::vector<uint8_t>* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  long n = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  out->resize(n);
+  size_t got = fread(out->data(), 1, n, f);
+  fclose(f);
+  return got == static_cast<size_t>(n);
+}
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf jb;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  JpegErrorMgr* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->jb, 1);
+}
+
+bool decode_jpeg(const std::vector<uint8_t>& bytes, Image* img) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, bytes.data(), bytes.size());
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  img->h = cinfo.output_height;
+  img->w = cinfo.output_width;
+  img->c = 3;
+  img->data.resize(size_t(img->h) * img->w * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = img->data.data() + size_t(cinfo.output_scanline) * img->w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+bool decode_png_gray(const std::vector<uint8_t>& bytes, Image* img) {
+  png_image pimg;
+  memset(&pimg, 0, sizeof(pimg));
+  pimg.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&pimg, bytes.data(), bytes.size()))
+    return false;
+  pimg.format = PNG_FORMAT_GRAY;
+  img->h = pimg.height;
+  img->w = pimg.width;
+  img->c = 1;
+  img->data.resize(PNG_IMAGE_SIZE(pimg));
+  if (!png_image_finish_read(&pimg, nullptr, img->data.data(), 0, nullptr)) {
+    png_image_free(&pimg);
+    return false;
+  }
+  return true;
+}
+
+// bilinear (half-pixel) resize for RGB; nearest for masks
+void resize_rgb(const Image& src, uint8_t* dst, int oh, int ow) {
+  for (int y = 0; y < oh; ++y) {
+    float sy = (y + 0.5f) * src.h / oh - 0.5f;
+    if (sy < 0) sy = 0;
+    if (sy > src.h - 1) sy = float(src.h - 1);
+    int y0 = int(sy);
+    int y1 = y0 + 1 < src.h ? y0 + 1 : y0;
+    float fy = sy - y0;
+    for (int x = 0; x < ow; ++x) {
+      float sx = (x + 0.5f) * src.w / ow - 0.5f;
+      if (sx < 0) sx = 0;
+      if (sx > src.w - 1) sx = float(src.w - 1);
+      int x0 = int(sx);
+      int x1 = x0 + 1 < src.w ? x0 + 1 : x0;
+      float fx = sx - x0;
+      for (int ch = 0; ch < 3; ++ch) {
+        float v00 = src.data[(size_t(y0) * src.w + x0) * 3 + ch];
+        float v01 = src.data[(size_t(y0) * src.w + x1) * 3 + ch];
+        float v10 = src.data[(size_t(y1) * src.w + x0) * 3 + ch];
+        float v11 = src.data[(size_t(y1) * src.w + x1) * 3 + ch];
+        float v = v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy) +
+                  v10 * (1 - fx) * fy + v11 * fx * fy;
+        dst[(size_t(y) * ow + x) * 3 + ch] = uint8_t(v + 0.5f);
+      }
+    }
+  }
+}
+
+void resize_nearest_gray(const Image& src, uint8_t* dst, int oh, int ow) {
+  for (int y = 0; y < oh; ++y) {
+    int sy = int((y + 0.5f) * src.h / oh);
+    if (sy > src.h - 1) sy = src.h - 1;
+    for (int x = 0; x < ow; ++x) {
+      int sx = int((x + 0.5f) * src.w / ow);
+      if (sx > src.w - 1) sx = src.w - 1;
+      dst[size_t(y) * ow + x] = src.data[size_t(sy) * src.w + sx];
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode n (jpeg image, png mask) pairs into preallocated buffers:
+//   imgs: n * stage_h * stage_w * 3 uint8 (NHWC)
+//   lbls: n * stage_h * stage_w uint8
+// Returns the number of failures (0 == all good). Failed slots are zeroed.
+int fill_batch(const char** jpg_paths, const char** png_paths, int n,
+               uint8_t* imgs, uint8_t* lbls, int stage_h, int stage_w,
+               int num_threads) {
+  std::atomic<int> failures{0};
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      uint8_t* img_dst = imgs + size_t(i) * stage_h * stage_w * 3;
+      uint8_t* lbl_dst = lbls + size_t(i) * stage_h * stage_w;
+      std::vector<uint8_t> bytes;
+      Image im;
+      bool ok = read_file(jpg_paths[i], &bytes) && decode_jpeg(bytes, &im);
+      if (ok) {
+        if (im.h == stage_h && im.w == stage_w) {
+          memcpy(img_dst, im.data.data(), im.data.size());
+        } else {
+          resize_rgb(im, img_dst, stage_h, stage_w);
+        }
+      } else {
+        memset(img_dst, 0, size_t(stage_h) * stage_w * 3);
+        failures.fetch_add(1);
+      }
+      if (png_paths && png_paths[i]) {
+        Image msk;
+        bool mok = read_file(png_paths[i], &bytes) &&
+                   decode_png_gray(bytes, &msk);
+        if (mok) {
+          if (msk.h == stage_h && msk.w == stage_w) {
+            memcpy(lbl_dst, msk.data.data(), msk.data.size());
+          } else {
+            resize_nearest_gray(msk, lbl_dst, stage_h, stage_w);
+          }
+        } else {
+          memset(lbl_dst, 0, size_t(stage_h) * stage_w);
+          failures.fetch_add(1);
+        }
+      }
+    }
+  };
+  int t = num_threads > 0 ? num_threads : 4;
+  if (t > n) t = n > 0 ? n : 1;
+  std::vector<std::thread> pool;
+  pool.reserve(t);
+  for (int k = 0; k < t; ++k) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
+}  // extern "C"
