@@ -71,6 +71,64 @@ class LossHistory:
         plt.close("all")
 
 
+class FusionHistory:
+    """Per-fold loss/accuracy curves for the CV driver.
+
+    Reference: the milestone-epoch loss/accuracy PNG dumps in
+    my_train(full).py:583-612.  Curves are written at the epochs listed in
+    ``milestones`` and at the end of the fold.
+    """
+
+    def __init__(self, log_dir: str, seed: int, fold: int,
+                 milestones=(20, 50, 100, 150, 180)):
+        self.log_dir = log_dir
+        self.tag = f"seed{seed}_fold{fold}"
+        self.milestones = set(milestones)
+        os.makedirs(log_dir, exist_ok=True)
+        self.train_loss, self.val_loss = [], []
+        self.train_acc, self.val_acc = [], []
+
+    def append(self, epoch: int, train_loss: float, val_loss: float,
+               train_acc: float, val_acc: float):
+        self.train_loss.append(train_loss)
+        self.val_loss.append(val_loss)
+        self.train_acc.append(train_acc)
+        self.val_acc.append(val_acc)
+        with open(os.path.join(self.log_dir, f"{self.tag}_metrics.txt"), "a") as f:
+            f.write(f"{epoch}\t{train_loss:.6f}\t{val_loss:.6f}\t"
+                    f"{train_acc:.4f}\t{val_acc:.4f}\n")
+        if (epoch + 1) in self.milestones:
+            self.plot(epoch + 1)
+
+    def plot(self, epoch: Optional[int] = None):
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:  # pragma: no cover
+            return
+        suffix = f"_ep{epoch}" if epoch else ""
+        it = range(len(self.train_loss))
+        plt.figure()
+        plt.plot(it, self.train_loss, label="train loss")
+        plt.plot(it, self.val_loss, label="val loss")
+        plt.xlabel("Epoch")
+        plt.ylabel("Loss")
+        plt.legend()
+        plt.grid(True)
+        plt.savefig(os.path.join(self.log_dir, f"{self.tag}_loss{suffix}.png"))
+        plt.close("all")
+        plt.figure()
+        plt.plot(it, self.train_acc, label="train acc")
+        plt.plot(it, self.val_acc, label="val acc")
+        plt.xlabel("Epoch")
+        plt.ylabel("Accuracy")
+        plt.legend()
+        plt.grid(True)
+        plt.savefig(os.path.join(self.log_dir, f"{self.tag}_acc{suffix}.png"))
+        plt.close("all")
+
+
 class MiouHistory:
     """Track periodic mIoU evals: ``epoch_miou.txt`` + curve
     (callbacks.py:176-197)."""

@@ -216,9 +216,16 @@ class FusionTrainer:
         return out
 
     # -- cross-validation driver ------------------------------------------
-    def cross_validate(self, ds, epochs: Optional[int] = None, log=print):
+    def cross_validate(self, ds, epochs: Optional[int] = None, log=print,
+                       save_dir: Optional[str] = None):
         """Seed-repeat x stratified-K-fold CV with inner train/val split and
-        best-by-val-accuracy selection (main, my_train(full).py:417-623)."""
+        best-by-val-accuracy selection (main, my_train(full).py:417-623).
+
+        ``save_dir``: when set, per-fold loss/accuracy curves + metric logs
+        are written there (the reference's milestone-epoch PNG dumps,
+        my_train(full).py:583-612) along with the best params (npz) — the
+        reference keeps its best model only in memory, SURVEY.md §5.4.
+        """
         cfg = self.cfg
         epochs = epochs or cfg.epochs
         labels = np.asarray(ds["labels"])
@@ -235,6 +242,10 @@ class FusionTrainer:
                           for m, v in ds["feats"].items()}
                 state = self.init_state(feats0, init_key)
                 schedule = fusion_step_decay(cfg.lr, cfg.lr_gamma, cfg.lr_step)
+                history = None
+                if save_dir:
+                    from cervical_tpu.train.callbacks import FusionHistory
+                    history = FusionHistory(save_dir, seed, fold)
 
                 best = {"val_acc": -1.0, "params": None, "epoch": -1}
                 train_ds = subset(ds, tr_idx)
@@ -244,6 +255,9 @@ class FusionTrainer:
                     lr = schedule(epoch)
                     state, rep = self.train_epoch(state, train_ds, epoch, lr)
                     val = self.predict(state["params"], val_ds)
+                    if history is not None:
+                        history.append(epoch, rep["loss"], val["loss"],
+                                       rep["acc_all"], val["acc_all"])
                     if val["acc_all"] > best["val_acc"]:
                         best = {"val_acc": val["acc_all"],
                                 "params": jax.device_get(state["params"]),
@@ -253,6 +267,17 @@ class FusionTrainer:
                             f"train acc {rep['acc_all']:.3f} "
                             f"val acc {val['acc_all']:.3f}")
                 final = self.predict(best["params"] or state["params"], test_ds)
+                if history is not None:
+                    history.plot()
+                if save_dir:
+                    import os
+                    flat = {}
+                    for path, leaf in jax.tree_util.tree_flatten_with_path(
+                            best["params"] or state["params"])[0]:
+                        key = "/".join(getattr(p, "key", str(p)) for p in path)
+                        flat[key] = np.asarray(leaf)
+                    np.savez(os.path.join(
+                        save_dir, f"best_seed{seed}_fold{fold}.npz"), **flat)
                 fold_results.append({"seed": seed, "fold": fold,
                                      "best_epoch": best["epoch"],
                                      "val_acc": best["val_acc"],
