@@ -1,0 +1,59 @@
+"""SegPredictor: render modes, un-letterboxing, export (reference:
+deeplab.py:108-302)."""
+
+import numpy as np
+import jax
+import pytest
+
+from cervical_tpu.config import SegTrainConfig, SegDataConfig
+from cervical_tpu.inference.predictor import SegPredictor
+from cervical_tpu.train.seg_trainer import SegTrainer
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    cfg = SegTrainConfig(
+        data=SegDataConfig(input_shape=(32, 32), num_classes=5),
+        backbone="mobilenet", dtype="float32", save_dir="/tmp/pred_logs")
+    trainer = SegTrainer(cfg)
+    return SegPredictor(cfg, trainer.state)
+
+
+def test_predict_mask_original_resolution(predictor):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (40, 56, 3)).astype(np.uint8)
+    mask = predictor.predict_mask(img)
+    assert mask.shape == (40, 56)
+    assert mask.max() < 5
+
+
+def test_detect_image_modes(predictor):
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+    blend = predictor.detect_image(img, mix_type=0)
+    mask_only = predictor.detect_image(img, mix_type=1)
+    fg = predictor.detect_image(img, mix_type=2)
+    assert blend.shape == img.shape and blend.dtype == np.uint8
+    assert mask_only.shape == img.shape
+    assert fg.shape == img.shape
+    with pytest.raises(ValueError):
+        predictor.detect_image(img, mix_type=9)
+
+
+def test_probs_sum_to_one(predictor):
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+    probs = predictor.predict_probs(img)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=2e-2)
+
+
+def test_export_stablehlo(predictor, tmp_path):
+    path = predictor.export_stablehlo(str(tmp_path / "seg.stablehlo"))
+    data = open(path, "rb").read()
+    assert len(data) > 1000
+    # round-trip: deserialize and run
+    from jax import export as jax_export
+    import jax.numpy as jnp
+    exported = jax_export.deserialize(bytearray(data))
+    out = exported.call(jnp.zeros((1, 32, 32, 3), jnp.float32))
+    assert out.shape == (1, 32, 32, 5)
