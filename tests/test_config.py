@@ -1,0 +1,64 @@
+"""Config system tests (SURVEY.md §5.6 rebuild)."""
+
+import json
+
+import pytest
+
+from cervical_tpu.config import (FusionTrainConfig, SegTrainConfig,
+                                 load_config, parse_cli_overrides)
+
+
+def test_defaults_match_reference_literals():
+    cfg = SegTrainConfig()
+    assert cfg.backbone == "xception"          # train.py:94
+    assert cfg.data.num_classes == 5           # train.py:87
+    assert cfg.cls_weights == (1.0, 1.0, 5.0, 3.0, 4.0)  # train.py:274
+    assert cfg.freeze_epoch == 20 and cfg.unfreeze_epoch == 200
+    assert cfg.focal_loss and cfg.dice_loss    # train.py:259-265
+    assert cfg.seed == 11                      # train.py:283
+
+    f = FusionTrainConfig()
+    assert f.epochs == 180 and f.batch_size == 8 and f.lr == 1e-4
+    assert f.kfold == 5 and f.lr_step == 40 and f.weight_decay == 5e-4
+    assert f.mse_loss_of_mae_factor == 5.0 and f.mix
+
+
+def test_arity_defaults():
+    f3 = FusionTrainConfig(modalities=("imgN", "imgA", "cli")).arity_defaults()
+    assert f3.kfold == 10 and f3.inner_test_size == 0.11
+    assert f3.weight_decay == 1e-3 and f3.lr_step == 30
+    f2 = FusionTrainConfig(modalities=("imgN", "cli")).arity_defaults()
+    assert f2.kfold == 5 and f2.lr_step == 20 and f2.weight_decay == 1e-3
+
+
+def test_json_config_and_overrides(tmp_path):
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({"backbone": "mobilenet",
+                             "data": {"num_classes": 3}}))
+    cfg = load_config(SegTrainConfig, str(p), {"init_lr": 5e-4})
+    assert cfg.backbone == "mobilenet"
+    assert cfg.data.num_classes == 3
+    assert cfg.init_lr == 5e-4
+
+
+def test_yaml_config(tmp_path):
+    p = tmp_path / "cfg.yaml"
+    p.write_text("backbone: mobilenet\ndata:\n  input_shape: [256, 256]\n")
+    cfg = load_config(SegTrainConfig, str(p))
+    assert cfg.data.input_shape == (256, 256)
+
+
+def test_unknown_key_rejected(tmp_path):
+    with pytest.raises(KeyError):
+        load_config(SegTrainConfig, None, {"not_a_knob": 1})
+
+
+def test_parse_cli_overrides():
+    o = parse_cli_overrides(["--backbone", "mobilenet",
+                             "--data.num_classes", "3",
+                             "--init_lr=0.001",
+                             "--modalities", '["imgN","cli"]'])
+    assert o["backbone"] == "mobilenet"
+    assert o["data"]["num_classes"] == 3
+    assert o["init_lr"] == 0.001
+    assert o["modalities"] == ["imgN", "cli"]
