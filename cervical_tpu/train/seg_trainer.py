@@ -267,7 +267,9 @@ class SegTrainer:
         total_epochs = total_epochs or cfg.unfreeze_epoch
         if loader_factory is None:
             def loader_factory(ds, bs, shuffle):
-                return BatchLoader(ds, bs, shuffle=shuffle, seed=cfg.seed)
+                # train drops ragged tails (static shapes); eval keeps them
+                return BatchLoader(ds, bs, shuffle=shuffle, seed=cfg.seed,
+                                   drop_last=shuffle)
 
         loss_hist = LossHistory(cfg.save_dir)
         miou_hist = MiouHistory(cfg.save_dir, cfg.eval_period)
