@@ -1,0 +1,90 @@
+"""Einsum/barrel warp backend vs. the gather oracle (ops/warp_xla.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cervical_tpu.ops import augment as A
+from cervical_tpu.ops import warp_xla as WX
+
+B, S = 4, 64
+
+
+def _data(seed=0):
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(rng.integers(0, 256, (B, S, S, 3)), jnp.uint8),
+            jnp.asarray(rng.integers(0, 5, (B, S, S)), jnp.uint8))
+
+
+def test_identity_letterbox_exact():
+    images, labels = _data()
+    p = A.letterbox_params_like(B, (S, S), (S, S))
+    oi, ol = WX.augment_batch_einsum(images, labels, p, (S, S),
+                                     letterbox=True, normalized=False)
+    ri, rl = A.augment_batch(images, labels, p, (S, S), letterbox=True)
+    assert np.abs(np.asarray(oi, np.float32) - np.asarray(ri)).max() == 0
+    np.testing.assert_array_equal(np.asarray(ol), np.asarray(rl))
+
+
+def test_scale_flip_paste_close():
+    images, labels = _data(1)
+    p = dict(A.sample_augment_params(jax.random.PRNGKey(1), B))
+    p["angle"] = jnp.zeros(B)
+    p["blur"] = jnp.zeros(B, bool)
+    oi, ol = WX.augment_batch_einsum(images, labels, p, (S, S),
+                                     normalized=False)
+    ri, rl = A.augment_batch(images, labels, p, (S, S))
+    d = np.abs(np.asarray(oi, np.float32) - np.asarray(ri))
+    assert d.mean() < 1.0
+    assert (np.asarray(ol) != np.asarray(rl)).mean() < 0.01
+
+
+def test_rotation_geometry_on_ramp():
+    yy, xx = np.mgrid[:S, :S]
+    ramp = np.stack([xx, yy, (xx + yy) / 2], -1).astype(np.float32) * 2
+    images = jnp.asarray(np.tile(ramp[None], (B, 1, 1, 1)))
+    labels = jnp.asarray((xx[None].repeat(B, 0) // 8).astype(np.uint8))
+    p = dict(A.letterbox_params_like(B, (S, S), (S, S)))
+    p["angle"] = jnp.array([3.0, -7.0, 10.0, 0.0])
+    p["blur"] = jnp.zeros(B, bool)
+    p["gains"] = jnp.ones((B, 3))
+    oi, ol = WX.augment_batch_einsum(images, labels, p, (S, S),
+                                     normalized=False)
+    ri, rl = A.augment_batch(images, labels, p, (S, S), letterbox=True)
+    m = slice(12, 52)
+    d = np.abs(np.asarray(oi, np.float32)[:, m, m] - np.asarray(ri)[:, m, m])
+    assert d.max() < 4.0  # uint8 quantization between shears + hsv round
+    mism = (np.asarray(ol)[:, m, m] != np.asarray(rl)[:, m, m]).mean()
+    assert mism < 0.08
+
+
+def test_rotate_capacity_prefix_matches_full():
+    images, labels = _data(2)
+    p = dict(A.sample_augment_params(jax.random.PRNGKey(3), B,
+                                     rotate_prefix=2))
+    full = WX.augment_batch_einsum(images, labels, p, (S, S),
+                                   normalized=False)
+    pref = WX.augment_batch_einsum(images, labels, p, (S, S),
+                                   normalized=False, rotate_capacity=2)
+    # full-batch mode quantizes even zero-angle images to uint8 before the
+    # (identity) shears; the prefix path skips them -> <=0.5 count difference
+    np.testing.assert_allclose(np.asarray(full[0], np.float32),
+                               np.asarray(pref[0], np.float32), atol=0.75)
+    np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(pref[1]))
+
+
+def test_rotate_prefix_sampling():
+    p = A.sample_augment_params(jax.random.PRNGKey(0), 16, rotate_prefix=4)
+    ang = np.asarray(p["angle"])
+    assert np.all(ang[4:] == 0)
+    assert np.any(ang[:4] != 0)
+
+
+def test_normalized_output_range():
+    images, labels = _data(3)
+    p = A.sample_augment_params(jax.random.PRNGKey(4), B)
+    oi, _ = WX.augment_batch_einsum(images, labels, p, (S, S),
+                                    normalized=True)
+    arr = np.asarray(oi, np.float32)
+    assert arr.min() >= 0.0 and arr.max() <= 1.0
+    assert oi.dtype == jnp.bfloat16
