@@ -181,10 +181,17 @@ class FusionTrainer:
         return state, report
 
     def predict(self, params, ds, batch_size: int = 64,
-                use_present: bool = True):
+                use_present: bool = True, use_type=None):
         """Full-cohort evaluation (``prediction``, my_train(full).py:47-171):
         per-head accuracies, CE loss of the fused head, confusion matrix,
-        precision/recall/F1, FP/FN/TP/TN."""
+        precision/recall/F1, FP/FN/TP/TN.
+
+        ``use_type``: optional modality subset to evaluate with — absent
+        modalities are zeroed and imputed by the MAE, reproducing the
+        reference's ``use_type != train_use_type`` path
+        (my_mae_model.py:608-622).
+        """
+        from cervical_tpu.data.masks import imputation_masks
         cfg = self.cfg
         step = self.eval_step_fn()
         t = len(cfg.modalities)
@@ -192,13 +199,23 @@ class FusionTrainer:
         heads = ["all", *cfg.modalities]
         preds = {k: [] for k in heads}
         fused_logits = []
+        subset_mask = None
+        if use_type is not None:
+            subset_mask = np.asarray([m in use_type for m in cfg.modalities])
         for start in range(0, n, batch_size):
             idx = np.arange(start, min(start + batch_size, n))
             batch = subset(ds, idx)
             feats = {m: jnp.asarray(v) for m, v in batch["feats"].items()}
-            present = (jnp.asarray(batch["present"]) if use_present
-                       else jnp.ones((len(idx), t), bool))
-            mask = jnp.zeros((len(idx), t), bool)
+            present = (np.asarray(batch["present"]) if use_present
+                       else np.ones((len(idx), t), bool))
+            if subset_mask is not None:
+                present = present & subset_mask[None, :]
+                feats = {m: jnp.where(subset_mask[mi], feats[m], 0.0)
+                         for mi, m in enumerate(cfg.modalities)}
+            present = jnp.asarray(present)
+            # absent slots are hidden from the MAE encoder and reconstructed
+            # from the mask token (imputation); all-present rows get no mask
+            mask = imputation_masks(present)
             logits, p = step(params, feats, present, mask)
             fused_logits.append(np.asarray(logits["all"]))
             for k in heads:
