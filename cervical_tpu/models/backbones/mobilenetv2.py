@@ -49,12 +49,20 @@ class ConvBNReLU6(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        pad = self.dilation * (self.kernel // 2)
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=self.stride, padding=pad,
-                    kernel_dilation=self.dilation,
-                    feature_group_count=self.groups, use_bias=False,
-                    dtype=self.dtype, name="conv")(x)
+        if self.groups > 1 and self.groups == x.shape[-1] and self.kernel == 3:
+            # shift-based depthwise (ops/depthwise.py): XLA grouped convs run
+            # far below bandwidth on the target platform.  Module named
+            # "conv" keeps the torch-import param path unchanged.
+            from cervical_tpu.models.backbones.xception import DepthwiseConv3x3
+            x = DepthwiseConv3x3(self.stride, self.dilation, dtype=self.dtype,
+                                 name="conv")(x)
+        else:
+            pad = self.dilation * (self.kernel // 2)
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=self.stride, padding=pad,
+                        kernel_dilation=self.dilation,
+                        feature_group_count=self.groups, use_bias=False,
+                        dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, **_bn(),
                          dtype=self.dtype, name="bn")(x)
         return jnp.minimum(nn.relu(x), 6.0)

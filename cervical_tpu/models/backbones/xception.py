@@ -17,7 +17,29 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
+from cervical_tpu.ops.depthwise import depthwise_conv3x3
+
 _BN = dict(momentum=1.0 - 0.0003, epsilon=1e-5)
+
+
+class DepthwiseConv3x3(nn.Module):
+    """Depthwise 3x3 as 9 shifted multiply-adds (see ops/depthwise.py —
+    XLA's grouped conv runs ~10x below bandwidth on the target platform).
+    Parameter layout matches an HWIO grouped-conv kernel so torch weight
+    import is unchanged."""
+
+    stride: int = 1
+    dilation: int = 1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 1, c))
+        dtype = self.dtype or x.dtype
+        return depthwise_conv3x3(x.astype(dtype), kernel.astype(dtype),
+                                 self.stride, self.dilation)
 
 
 class SeparableConv(nn.Module):
@@ -38,11 +60,15 @@ class SeparableConv(nn.Module):
         inp = x.shape[-1]
         if self.activate_first:
             x = nn.relu(x)
-        pad = self.dilation * (self.kernel // 2)
-        x = nn.Conv(inp, (self.kernel, self.kernel), strides=self.stride,
-                    padding=pad, kernel_dilation=self.dilation,
-                    feature_group_count=inp, use_bias=False,
-                    dtype=self.dtype, name="depthwise")(x)
+        if self.kernel == 3:
+            x = DepthwiseConv3x3(self.stride, self.dilation, dtype=self.dtype,
+                                 name="depthwise")(x)
+        else:
+            pad = self.dilation * (self.kernel // 2)
+            x = nn.Conv(inp, (self.kernel, self.kernel), strides=self.stride,
+                        padding=pad, kernel_dilation=self.dilation,
+                        feature_group_count=inp, use_bias=False,
+                        dtype=self.dtype, name="depthwise")(x)
         x = nn.BatchNorm(use_running_average=not train, **_BN,
                          dtype=self.dtype, name="bn1")(x)
         if not self.activate_first:
