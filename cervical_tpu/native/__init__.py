@@ -66,8 +66,14 @@ def unavailable_reason() -> Optional[str]:
     return _unavailable_reason
 
 
+def default_threads() -> int:
+    """2 threads per core (decode overlaps file IO), capped at 8 — measured
+    best on the single-core CI host (oversubscription degrades throughput)."""
+    return max(2, min(8, (os.cpu_count() or 1) * 2))
+
+
 def load_batch(jpg_paths: Sequence[str], png_paths: Optional[Sequence[str]],
-               stage_hw, num_threads: int = 8):
+               stage_hw, num_threads: Optional[int] = None):
     """Decode a batch of (jpeg, png-mask) pairs into fresh numpy arrays.
 
     Returns (images (N, H, W, 3) uint8, labels (N, H, W) uint8, n_failures).
@@ -76,6 +82,8 @@ def load_batch(jpg_paths: Sequence[str], png_paths: Optional[Sequence[str]],
     lib = get_lib()
     if lib is None:
         raise RuntimeError(f"native loader unavailable: {_unavailable_reason}")
+    if num_threads is None:
+        num_threads = default_threads()
     n = len(jpg_paths)
     h, w = stage_hw
     imgs = np.empty((n, h, w, 3), np.uint8)
