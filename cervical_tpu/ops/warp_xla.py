@@ -67,13 +67,18 @@ def _resample(images, wp, out_size: int, nearest: bool, fill):
     wy, inb_y = _interp_matrices(wp[:, P_AY], wp[:, P_BY], out_size, ih, nearest)
     wx, inb_x = _interp_matrices(wp[:, P_AX], wp[:, P_BX], out_size, iw, nearest)
     x = images.astype(jnp.bfloat16)
+    # bf16 accumulation is exact enough here: each output is a 2-tap convex
+    # combination of [0,255] values (the other 510 weights are exact zeros),
+    # and it halves the intermediate HBM traffic vs f32 accumulation.
     v = jnp.einsum("boi,biwc->bowc", wy, x,
-                   preferred_element_type=jnp.float32)
-    v = v + (fill[:, None] * (1.0 - inb_y))[:, :, None, None]
-    h = jnp.einsum("bpw,bhwc->bhpc", wx, v.astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32)
-    h = h + (fill[:, None] * (1.0 - inb_x))[:, None, :, None]
-    return h.astype(jnp.bfloat16)
+                   preferred_element_type=jnp.bfloat16)
+    v = v + ((fill[:, None] * (1.0 - inb_y))[:, :, None, None]
+             ).astype(jnp.bfloat16)
+    h = jnp.einsum("bpw,bhwc->bhpc", wx, v,
+                   preferred_element_type=jnp.bfloat16)
+    h = h + ((fill[:, None] * (1.0 - inb_x))[:, None, :, None]
+             ).astype(jnp.bfloat16)
+    return h
 
 
 def _barrel_shift(x, shift, axis: int, fill, nearest: bool,
