@@ -30,16 +30,18 @@ def bench_augmentation(batch=1024, size=512, iters=10, warmup=2):
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 256, (batch, size, size, 3)), jnp.uint8)
     labels = jnp.asarray(rng.integers(0, 5, (batch, size, size)), jnp.uint8)
-    capacity = batch // 4  # rotation probability 0.25 (dataloader.py:125)
+    capacity = batch // 4  # rotation/blur probability 0.25 (dataloader.py:118,125)
 
     @jax.jit
     def pipeline(images, labels, key):
-        # rotating samples occupy a fixed prefix (the loader shuffles batch
-        # contents, so the per-image rotation marginal stays 0.25) — only
-        # that prefix pays for the 3-shear rotation
-        params = A.sample_augment_params(key, batch, rotate_prefix=capacity)
-        return WX.augment_batch_einsum(images, labels, params,
-                                       (size, size), rotate_capacity=capacity)
+        # rotating samples occupy a fixed prefix and blurred samples a fixed
+        # suffix (the loader shuffles batch contents, so per-image marginals
+        # stay 0.25) — only those slices pay for the 3-shear rotation / blur
+        params = A.sample_augment_params(key, batch, rotate_prefix=capacity,
+                                         blur_suffix=capacity)
+        return WX.augment_batch_einsum(images, labels, params, (size, size),
+                                       rotate_capacity=capacity,
+                                       blur_capacity=capacity)
 
     key = jax.random.PRNGKey(0)
     out = pipeline(images, labels, key)

@@ -42,7 +42,8 @@ GRAY_FILL = 128.0  # reference canvas/border fill (dataloader.py:106,130)
 def sample_augment_params(rng, batch_size: int, jitter=0.3, scale_range=(0.25, 2.0),
                           hue=0.1, sat=0.7, val=0.3, flip_p=0.5, blur_p=0.25,
                           rotate_p=0.25, max_rotation=10,
-                          rotate_prefix: int | None = None):
+                          rotate_prefix: int | None = None,
+                          blur_suffix: int | None = None):
     """Per-image augmentation parameters, mirroring the RNG draws of
     ``get_random_data`` (dataloader.py:82-137).
 
@@ -51,6 +52,11 @@ def sample_augment_params(rng, batch_size: int, jitter=0.3, scale_range=(0.25, 2
     contents every epoch, each *image's* marginal rotation probability stays
     K/B; pair with ``augment_batch_einsum(rotate_capacity=K)`` so the
     3-shear rotation only runs on that prefix.
+
+    ``blur_suffix``: same trick for the Gaussian blur — exactly the *last* K
+    samples blur (disjoint from the rotation prefix; see docs/PARITY.md for
+    the co-occurrence caveat).  Pair with
+    ``augment_batch_einsum(blur_capacity=K)``.
 
     Returns a dict of (B,)-shaped arrays; pass to :func:`augment_batch`.
     """
@@ -63,7 +69,10 @@ def sample_augment_params(rng, batch_size: int, jitter=0.3, scale_range=(0.25, 2
     # because nw/nh depend on scale: dx = frac * (w - nw)
     dx_frac = u(ks[4], 0.0, 1.0)
     dy_frac = u(ks[4] + 1, 0.0, 1.0)
-    blur = jax.random.bernoulli(ks[5], blur_p, (batch_size,))
+    if blur_suffix is None:
+        blur = jax.random.bernoulli(ks[5], blur_p, (batch_size,))
+    else:
+        blur = jnp.arange(batch_size) >= batch_size - blur_suffix
     if rotate_prefix is None:
         rot_draw = jax.random.bernoulli(ks[6], rotate_p, (batch_size,))
     else:

@@ -134,13 +134,21 @@ def _roll(x, shift: int, axis: int):
     return jnp.concatenate([lo, hi], axis=axis)
 
 
-def _barrel_shift_u8(x, shift, axis: int, fill_u8: int, nearest: bool,
-                     max_shift: int):
+def _barrel_shift_u8(x, shift, axis: int, fill_u8, nearest: bool,
+                     max_shift: int, nearest_tail: int = 0):
     """uint8 barrel shifter: integer roll ladder + fixed-point fractional
     lerp + fill mask.  Half the HBM traffic of the bf16 ladder, and faithful
     to the reference chain, which quantizes to uint8 between every PIL/cv2
-    step."""
+    step.
+
+    ``nearest_tail``: number of trailing channels that take the
+    nearest-neighbor value instead of the fractional lerp (lets class-id
+    label planes ride the same ladder as the image planes —
+    ``nearest = frac >= 0.5 ? next : current`` == round(shift) given the
+    floor-based integer ladder).  ``fill_u8`` may be per-channel.
+    """
     b = x.shape[0]
+    c = x.shape[-1]
     size = x.shape[axis]
     if nearest:
         s_int = jnp.round(shift)
@@ -158,21 +166,32 @@ def _barrel_shift_u8(x, shift, axis: int, fill_u8: int, nearest: bool,
         y = jnp.where(bit, _roll(y, 1 << k, axis), y)
     if w8 is not None:
         w = w8.reshape(mshape)
-        y32 = y.astype(jnp.int32)
-        y_next = _roll(y, 1, axis).astype(jnp.int32)
-        y = ((y32 * (256 - w) + y_next * w + 128) >> 8).astype(jnp.uint8)
+        y_next = _roll(y, 1, axis)
+        lerp = ((y.astype(jnp.int32) * (256 - w)
+                 + y_next.astype(jnp.int32) * w + 128) >> 8).astype(jnp.uint8)
+        if nearest_tail > 0:
+            near = jnp.where(w >= 128, y_next, y)
+            ch = jnp.arange(c) >= c - nearest_tail
+            y = jnp.where(ch[None, None, None, :], near, lerp)
+        else:
+            y = lerp
     coord = jnp.arange(size, dtype=jnp.float32)
     if axis == 2:
         cs = coord[None, None, :] - shift[:, :, None]
     else:
         cs = coord[None, :, None] - shift[:, None, :]
     valid = ((cs >= -0.5) & (cs <= size - 0.5))[..., None]
-    return jnp.where(valid, y, jnp.asarray(fill_u8, jnp.uint8))
+    fill = jnp.broadcast_to(jnp.asarray(fill_u8, jnp.uint8), (c,))
+    return jnp.where(valid, y, fill[None, None, None, :])
 
 
-def _rotate_u8(images_u8, wp, nearest: bool, fill_u8: int,
-               max_angle_deg: float = 10.0):
-    """uint8 Paeth 3-shear rotation (see :func:`_rotate`)."""
+def _rotate_u8(images_u8, wp, nearest: bool, fill_u8,
+               max_angle_deg: float = 10.0, nearest_tail: int = 0):
+    """uint8 Paeth 3-shear rotation (see :func:`_rotate`).
+
+    ``nearest_tail``/per-channel ``fill_u8`` allow label planes to share the
+    image ladder (one set of roll stages for all 4 planes).
+    """
     b, s, _, _ = images_u8.shape
     c = float(s // 2)
     rad = np.deg2rad(max_angle_deg)
@@ -183,9 +202,9 @@ def _rotate_u8(images_u8, wp, nearest: bool, fill_u8: int,
     sint = wp[:, P_SINT][:, None]
     sh_x = -tanh * grid[None, :]
     sh_y = sint * grid[None, :]
-    x = _barrel_shift_u8(images_u8, sh_x, 2, fill_u8, nearest, ms_x)
-    x = _barrel_shift_u8(x, sh_y, 1, fill_u8, nearest, ms_y)
-    x = _barrel_shift_u8(x, sh_x, 2, fill_u8, nearest, ms_x)
+    x = _barrel_shift_u8(images_u8, sh_x, 2, fill_u8, nearest, ms_x, nearest_tail)
+    x = _barrel_shift_u8(x, sh_y, 1, fill_u8, nearest, ms_y, nearest_tail)
+    x = _barrel_shift_u8(x, sh_x, 2, fill_u8, nearest, ms_x, nearest_tail)
     return x
 
 
@@ -227,16 +246,20 @@ def rotation_first_order(angles: "np.ndarray") -> "np.ndarray":
 
 @functools.partial(jax.jit, static_argnames=("dst_hw", "letterbox",
                                              "normalized", "rotate",
-                                             "rotate_capacity"))
+                                             "rotate_capacity",
+                                             "blur_capacity"))
 def augment_batch_einsum(images, labels, params, dst_hw: Tuple[int, int],
                          letterbox: bool = False, normalized: bool = True,
-                         rotate: bool = True, rotate_capacity: int = 0):
+                         rotate: bool = True, rotate_capacity: int = 0,
+                         blur_capacity: int = 0):
     """Fast-path equivalent of :func:`cervical_tpu.ops.augment.augment_batch`.
 
     ``rotate_capacity`` > 0 restricts the shear rotation to the first K
-    samples (use with :func:`rotation_first_order`); 0 rotates the full
-    batch.  Returns (images (B, S, S, 3) bf16 — [0,1] if normalized else
-    [0,255] — labels (B, S, S) int32).
+    samples (use with ``sample_augment_params(rotate_prefix=K)``); 0 rotates
+    the full batch.  ``blur_capacity`` > 0 likewise restricts the 5x5 blur
+    to the *last* K samples (``blur_suffix=K``).  Returns (images
+    (B, S, S, 3) bf16 — [0,1] if normalized else [0,255] — labels
+    (B, S, S) int32).
     """
     s = dst_hw[0]
     wp = make_warp_params(params, images.shape[1:3], dst_hw,
@@ -251,11 +274,16 @@ def augment_batch_einsum(images, labels, params, dst_hw: Tuple[int, int],
         k = rotate_capacity if rotate_capacity > 0 else img.shape[0]
         img_u8 = jnp.clip(jnp.round(img[:k].astype(jnp.float32)),
                           0, 255).astype(jnp.uint8)
-        img_r = _rotate_u8(img_u8, wp[:k], nearest=False, fill_u8=128)
-        lbl_r = _rotate_u8(lbl[:k].astype(jnp.uint8), wp[:k], nearest=True,
-                           fill_u8=0)
-        img = jnp.concatenate([img_r.astype(jnp.bfloat16), img[k:]], axis=0)
-        lbl = jnp.concatenate([lbl_r.astype(lbl.dtype), lbl[k:]], axis=0)
+        # the label plane rides the image ladder as a 4th uint8 channel
+        # (nearest-neighbor via the tail-channel mode, fill 0)
+        planes = jnp.concatenate([img_u8, lbl[:k].astype(jnp.uint8)], axis=-1)
+        rot = _rotate_u8(planes, wp[:k], nearest=False,
+                         fill_u8=np.array([128, 128, 128, 0], np.uint8),
+                         nearest_tail=1)
+        img = jnp.concatenate([rot[..., :3].astype(jnp.bfloat16), img[k:]],
+                              axis=0)
+        lbl = jnp.concatenate([rot[..., 3:].astype(lbl.dtype), lbl[k:]],
+                              axis=0)
     lbl = jnp.round(lbl.astype(jnp.float32))[..., 0].astype(jnp.int32)
 
     if letterbox:
@@ -263,8 +291,15 @@ def augment_batch_einsum(images, labels, params, dst_hw: Tuple[int, int],
     else:
         # hsv_jitter is written per-image; vmap over the batch
         out = jax.vmap(aug.hsv_jitter)(img.astype(jnp.float32), params["gains"])
-        blurred = aug.gaussian_blur(out)
-        out = jnp.where(params["blur"][:, None, None, None], blurred, out)
+        if blur_capacity > 0:
+            tail = out[-blur_capacity:]
+            blurred = aug.gaussian_blur(tail)
+            tail = jnp.where(params["blur"][-blur_capacity:, None, None, None],
+                             blurred, tail)
+            out = jnp.concatenate([out[:-blur_capacity], tail], axis=0)
+        else:
+            blurred = aug.gaussian_blur(out)
+            out = jnp.where(params["blur"][:, None, None, None], blurred, out)
         out = out.astype(jnp.bfloat16)
     if normalized:
         out = (out.astype(jnp.float32) / 255.0).astype(jnp.bfloat16)

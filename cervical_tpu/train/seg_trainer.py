@@ -120,10 +120,12 @@ def make_train_step(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
     def step(state: TrainState, images, labels, aug_params, lr, rng):
         # fused on-device augmentation (einsum warp backend — see
         # ops/warp_xla.py); returns normalized bf16 images + int32 labels.
-        # rotation runs on the fixed prefix sampled with rotate_prefix.
+        # rotation runs on a fixed batch prefix, blur on a fixed suffix
+        # (marginals preserved by the loader shuffle — docs/PARITY.md).
+        cap = max(1, images.shape[0] // 4)
         images, labels = augment_batch_einsum(
             images, labels, aug_params, (h, w), letterbox=False,
-            rotate_capacity=max(1, images.shape[0] // 4))
+            rotate_capacity=cap, blur_capacity=cap)
         images = images.astype(_dtype(cfg))
         labels = jnp.minimum(labels, nc)
         one_hot = one_hot_with_ignore(labels, nc)
@@ -233,7 +235,8 @@ class SegTrainer:
                 scale_range=(self.cfg.data.scale_min, self.cfg.data.scale_max),
                 hue=self.cfg.data.hue, sat=self.cfg.data.sat,
                 val=self.cfg.data.val,
-                rotate_prefix=max(1, images.shape[0] // 4))
+                rotate_prefix=max(1, images.shape[0] // 4),
+                blur_suffix=max(1, images.shape[0] // 4))
             batch = shard_batch(self.mesh, (images, labels))
             self.state, m = step_fn(self.state, batch[0], batch[1],
                                     params_aug, jnp.asarray(lr), dk)
