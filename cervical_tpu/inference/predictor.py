@@ -11,7 +11,7 @@ TPU-native serialization).
 from __future__ import annotations
 
 import time
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax

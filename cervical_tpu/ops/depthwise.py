@@ -15,8 +15,6 @@ Xception / MobileNetV2 backbones in place of grouped convs.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

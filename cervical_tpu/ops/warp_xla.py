@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from cervical_tpu.ops import augment as aug
 from cervical_tpu.ops.pallas_warp import make_warp_params, NPARAMS  # noqa: F401
 from cervical_tpu.ops.pallas_warp import (P_AY, P_BY, P_AX, P_BX, P_TANH,
-                                          P_SINT, P_ANGLE, P_FILL)
+                                          P_SINT, P_FILL)
 
 MAX_SHIFT = 64  # covers +-10 deg rotation shears on a 512 canvas
 

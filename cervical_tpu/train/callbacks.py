@@ -11,8 +11,6 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-import numpy as np
-
 
 class LossHistory:
     """Append per-epoch losses to txt files, optional tensorboardX scalars,

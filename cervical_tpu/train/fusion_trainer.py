@@ -23,9 +23,7 @@ Key redesigns vs. the reference (SURVEY.md §7.1):
 
 from __future__ import annotations
 
-import dataclasses
-import time
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 import jax

@@ -15,7 +15,7 @@ running_mean/running_var -> scale/bias/mean/var.  torch is an optional
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 
