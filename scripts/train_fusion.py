@@ -25,6 +25,11 @@ def main(argv):
     overrides = parse_cli_overrides(argv)
     cohort_path = overrides.pop("cohort", None)
     cfg_path = overrides.pop("config", None)
+    log_dir = overrides.pop("log_dir", None)
+    if log_dir:  # tee stdout to log/<timestamp>.log (util.py:50-67)
+        import sys as _sys
+        from cervical_tpu.utils import Logger
+        _sys.stdout = Logger(log_dir, stream=_sys.stdout)
     cfg = load_config(FusionTrainConfig, cfg_path, overrides)
     cfg.arity_defaults()
     show_config(**{k: getattr(cfg, k) for k in
@@ -38,7 +43,7 @@ def main(argv):
     ds["feats"] = {m: ds["feats"][m] for m in cfg.modalities}
 
     trainer = FusionTrainer(cfg)
-    result = trainer.cross_validate(ds)
+    result = trainer.cross_validate(ds, save_dir=cfg.save_dir)
     print(f"mean test accuracy over folds: {result['mean_test_acc']:.4f}")
 
 
