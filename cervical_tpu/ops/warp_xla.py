@@ -231,6 +231,33 @@ def _rotate(images, wp, nearest: bool, fill, max_angle_deg: float = 10.0):
     return x
 
 
+def _blur5_shift(x):
+    """Separable 5x5 binomial Gaussian via shifted adds (cv2 kernel
+    [1,4,6,4,1]/16; dataloader.py:118-120).
+
+    conv-shaped XLA ops run far below bandwidth on the target platform
+    (CLAUDE.md), so the blur is 4 shifted adds per axis.  Borders use the
+    edge-mirror approximation of the wrap-around rolls being corrected by a
+    reflected roll on the 2 outermost lines (REFLECT_101 up to a <=2px
+    frame, as in the pallas photometric kernel).
+    """
+    def blur1d(v, axis):
+        n = v.shape[axis]
+        idx_shape = [1, 1, 1, 1]
+        idx_shape[axis] = n
+        idx = jnp.arange(n).reshape(idx_shape)
+        acc = v * 0.375
+        for dist, wgt in ((1, 0.25), (2, 0.0625)):
+            plus = _roll(v, n - dist, axis)    # v[i + dist] (wraps at end)
+            minus = _roll(v, dist, axis)       # v[i - dist] (wraps at start)
+            plus = jnp.where(idx >= n - dist, _roll(v, dist, axis), plus)
+            minus = jnp.where(idx < dist, _roll(v, n - dist, axis), minus)
+            acc = acc + wgt * (plus + minus)
+        return acc
+
+    return blur1d(blur1d(x, 1), 2)
+
+
 def rotation_first_order(angles: "np.ndarray") -> "np.ndarray":
     """Host-side permutation putting rotating samples first.
 
@@ -293,12 +320,12 @@ def augment_batch_einsum(images, labels, params, dst_hw: Tuple[int, int],
         out = jax.vmap(aug.hsv_jitter)(img.astype(jnp.float32), params["gains"])
         if blur_capacity > 0:
             tail = out[-blur_capacity:]
-            blurred = aug.gaussian_blur(tail)
+            blurred = _blur5_shift(tail)
             tail = jnp.where(params["blur"][-blur_capacity:, None, None, None],
                              blurred, tail)
             out = jnp.concatenate([out[:-blur_capacity], tail], axis=0)
         else:
-            blurred = aug.gaussian_blur(out)
+            blurred = _blur5_shift(out)
             out = jnp.where(params["blur"][:, None, None, None], blurred, out)
         out = out.astype(jnp.bfloat16)
     if normalized:
