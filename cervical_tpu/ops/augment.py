@@ -303,8 +303,8 @@ def gaussian_blur(images, ksize: int = 5, sigma: float = 0.0):
     """Separable 5x5 Gaussian blur, REFLECT_101 borders (cv2.GaussianBlur
     defaults; dataloader.py:118-120).  ``images``: (B, H, W, C)."""
     k = _gaussian_kernel_1d(ksize, sigma)
-    kh = jnp.asarray(k).reshape(1, ksize, 1, 1)
-    kw = jnp.asarray(k).reshape(ksize, 1, 1, 1)
+    kh = jnp.asarray(k, images.dtype).reshape(1, ksize, 1, 1)
+    kw = jnp.asarray(k, images.dtype).reshape(ksize, 1, 1, 1)
     c = images.shape[-1]
     pad = ksize // 2
     x = jnp.pad(images, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
