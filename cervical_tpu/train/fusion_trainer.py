@@ -300,4 +300,22 @@ class FusionTrainer:
                 log(f"seed {seed} fold {fold}: test acc {final['acc_all']:.3f}")
             results.extend(fold_results)
         mean_acc = float(np.mean([r["test"]["acc_all"] for r in results]))
+        if save_dir:
+            import json
+            import os
+
+            def clean(x):
+                if isinstance(x, dict):
+                    return {k: clean(v) for k, v in x.items()}
+                if isinstance(x, np.ndarray):
+                    return x.tolist()
+                if isinstance(x, (np.floating, np.integer)):
+                    return x.item()
+                return x
+
+            with open(os.path.join(save_dir, "cv_results.json"), "w") as f:
+                json.dump(clean({"folds": results,
+                                 "mean_test_acc": mean_acc,
+                                 "modalities": list(self.cfg.modalities)}),
+                          f, indent=1)
         return {"folds": results, "mean_test_acc": mean_acc}
