@@ -307,6 +307,8 @@ class FusionTrainer:
             def clean(x):
                 if isinstance(x, dict):
                     return {k: clean(v) for k, v in x.items()}
+                if isinstance(x, (list, tuple)):
+                    return [clean(v) for v in x]
                 if isinstance(x, np.ndarray):
                     return x.tolist()
                 if isinstance(x, (np.floating, np.integer)):
