@@ -115,6 +115,33 @@ class FusionTrainer:
         self._train_step = step
         return step
 
+    def epoch_scan_fn(self):
+        """One-dispatch epoch: ``lax.scan`` of the train step over stacked
+        micro-batches.
+
+        The per-call overhead of this environment (~30-70 ms, CLAUDE.md) made
+        the python-loop epoch dispatch-bound; scanning the whole epoch inside
+        one jit removes it (and is the idiomatic TPU formulation of the
+        reference's per-batch loop, my_train(full).py:228-355).
+        """
+        if getattr(self, "_epoch_scan", None) is not None:
+            return self._epoch_scan
+        step = self.train_step_fn()
+
+        @jax.jit
+        def epoch(state, feats_nb, labels_nb, masks_nb, lr, do_step, rngs_nb):
+            def body(st, xs):
+                feats, labels, mask, rng = xs
+                st, m = step(st, feats, labels, mask, lr, do_step, rng)
+                return st, (m["loss"], m["ce_all"], m["preds"])
+
+            state, (loss, ce, preds) = jax.lax.scan(
+                body, state, (feats_nb, labels_nb, masks_nb, rngs_nb))
+            return state, {"loss": loss, "ce_all": ce, "preds": preds}
+
+        self._epoch_scan = epoch
+        return epoch
+
     def eval_step_fn(self):
         if self._eval_step is not None:
             return self._eval_step
@@ -132,9 +159,14 @@ class FusionTrainer:
 
     # -- epoch loops -------------------------------------------------------
     def train_epoch(self, state, ds, epoch: int, lr: float,
-                    batch_size: Optional[int] = None):
+                    batch_size: Optional[int] = None, use_scan: bool = True):
         """One epoch over the cohort in shuffled micro-batches
-        (train_a_epoch, my_train(full).py:188-410)."""
+        (train_a_epoch, my_train(full).py:188-410).
+
+        With ``use_scan`` (default) the full-size micro-batches run as a
+        single ``lax.scan`` dispatch; a ragged tail batch runs as one extra
+        call, matching the reference's smaller final micro-batch.
+        """
         cfg = self.cfg
         bs = batch_size or cfg.batch_size
         n = len(ds["labels"])
@@ -147,9 +179,31 @@ class FusionTrainer:
         total_ce, nb = 0.0, 0
         all_preds = {k: [] for k in ["all", *cfg.modalities]}
         all_true = []
-        # drop ragged tail into its own (re-jitted once) shape only if needed;
-        # reference processes the tail as a smaller final micro-batch
-        for start in range(0, n, bs):
+
+        n_full = (n // bs) if use_scan else 0
+        if n_full > 0:
+            idx = order[:n_full * bs].reshape(n_full, bs)
+            feats_nb = {m: jnp.asarray(v[idx])
+                        for m, v in ds["feats"].items()}
+            labels_nb = jnp.asarray(ds["labels"][idx])
+            self.rng, mk, dk = jax.random.split(self.rng, 3)
+            if t > 1:
+                masks_nb = generate_modal_masks(mk, n_full * bs, t
+                                                ).reshape(n_full, bs, t)
+            else:
+                masks_nb = jnp.zeros((n_full, bs, 1), bool)
+            rngs_nb = jax.random.split(dk, n_full)
+            state, m = self.epoch_scan_fn()(
+                state, feats_nb, labels_nb, masks_nb,
+                jnp.asarray(lr), jnp.asarray(do_step), rngs_nb)
+            total_ce += float(jnp.sum(m["ce_all"]))
+            nb += n_full
+            for k in all_preds:
+                all_preds[k].append(np.asarray(m["preds"][k]).reshape(-1))
+            all_true.append(ds["labels"][idx.reshape(-1)])
+
+        # ragged tail (and the whole epoch when use_scan=False)
+        for start in range(n_full * bs, n, bs):
             idx = order[start:start + bs]
             if len(idx) == 0:
                 continue
