@@ -167,4 +167,40 @@ def evaluate_miou_dir(gt_dir: str, pred_dir: str, png_name_list,
             writer.writerow([" "] + names)
             for i, row in enumerate(summary["hist"]):
                 writer.writerow([names[i]] + [str(x) for x in row])
+        _write_metric_bars(summary, miou_out_path)
     return summary
+
+
+def _write_metric_bars(summary, out_dir: str):
+    """Per-class horizontal bar charts (``show_results``/``draw_plot_func``,
+    utils_metrics.py:204-241): mIoU.png, mPA.png, Recall.png, Precision.png."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:  # pragma: no cover
+        return
+    import os
+    names = list(summary["names"])
+    plots = [
+        ("mIoU.png", summary["iou"], f"mIoU = {np.nanmean(summary['iou']) * 100:.2f}%",
+         "Intersection over Union"),
+        ("mPA.png", summary["recall"], f"mPA = {np.nanmean(summary['recall']) * 100:.2f}%",
+         "Pixel Accuracy"),
+        ("Recall.png", summary["recall"], f"mRecall = {np.nanmean(summary['recall']) * 100:.2f}%",
+         "Recall"),
+        ("Precision.png", summary["precision"],
+         f"mPrecision = {np.nanmean(summary['precision']) * 100:.2f}%", "Precision"),
+    ]
+    for fname, values, title, xlabel in plots:
+        plt.figure()
+        plt.barh(range(len(values)), values, color="royalblue")
+        plt.title(title)
+        plt.xlabel(xlabel)
+        plt.yticks(range(len(values)), names)
+        for i, val in enumerate(values):
+            plt.text(val, i, f" {val:.2f}", va="center", fontweight="bold",
+                     color="royalblue")
+        plt.tight_layout()
+        plt.savefig(os.path.join(out_dir, fname))
+        plt.close("all")
