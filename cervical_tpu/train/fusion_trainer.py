@@ -232,7 +232,7 @@ class FusionTrainer:
         report["specificity"] = cls["specificity"]
         return state, report
 
-    def predict(self, params, ds, batch_size: int = 64,
+    def predict(self, params, ds, batch_size: int = 512,
                 use_present: bool = True, use_type=None):
         """Full-cohort evaluation (``prediction``, my_train(full).py:47-171):
         per-head accuracies, CE loss of the fused head, confusion matrix,
