@@ -255,7 +255,10 @@ class FusionTrainer:
         if use_type is not None:
             subset_mask = np.asarray([m in use_type for m in cfg.modalities])
         for start in range(0, n, batch_size):
-            idx = np.arange(start, min(start + batch_size, n))
+            real = min(start + batch_size, n) - start
+            # pad ragged final batches to the full shape (one compiled eval
+            # step regardless of cohort size; extras are sliced off below)
+            idx = np.minimum(np.arange(start, start + batch_size), n - 1)
             batch = subset(ds, idx)
             feats = {m: jnp.asarray(v) for m, v in batch["feats"].items()}
             present = (np.asarray(batch["present"]) if use_present
@@ -269,9 +272,9 @@ class FusionTrainer:
             # from the mask token (imputation); all-present rows get no mask
             mask = imputation_masks(present)
             logits, p = step(params, feats, present, mask)
-            fused_logits.append(np.asarray(logits["all"]))
+            fused_logits.append(np.asarray(logits["all"])[:real])
             for k in heads:
-                preds[k].append(np.asarray(p[k]))
+                preds[k].append(np.asarray(p[k])[:real])
 
         true = np.asarray(ds["labels"])
         fused = np.concatenate(fused_logits)
