@@ -316,11 +316,10 @@ def augment_batch_einsum(images, labels, params, dst_hw: Tuple[int, int],
     if letterbox:
         out = img
     else:
-        # hsv_jitter is written per-image; vmap over the batch.  Drop to
-        # bf16 right after (blur is a convex combination of [0,255] values,
-        # error <= 1 count) to halve the post-photometric HBM traffic.
-        out = jax.vmap(aug.hsv_jitter)(img.astype(jnp.float32),
-                                       params["gains"]).astype(jnp.bfloat16)
+        # batched fused HSV; drop to bf16 right after (blur is a convex
+        # combination of [0,255] values, error <= 1 count) to halve the
+        # post-photometric HBM traffic.
+        out = aug.hsv_jitter_batched(img, params["gains"]).astype(jnp.bfloat16)
         if blur_capacity > 0:
             tail = out[-blur_capacity:]
             blurred = aug.gaussian_blur(tail)
