@@ -297,21 +297,21 @@ def augment_batch_einsum(images, labels, params, dst_hw: Tuple[int, int],
     lbl = _resample(labels[..., None], wp, s, nearest=True,
                     fill=jnp.zeros_like(fill))
 
+    lbl = jnp.round(lbl.astype(jnp.float32)).astype(jnp.uint8)
     if rotate and not letterbox:
         k = rotate_capacity if rotate_capacity > 0 else img.shape[0]
         img_u8 = jnp.clip(jnp.round(img[:k].astype(jnp.float32)),
                           0, 255).astype(jnp.uint8)
         # the label plane rides the image ladder as a 4th uint8 channel
         # (nearest-neighbor via the tail-channel mode, fill 0)
-        planes = jnp.concatenate([img_u8, lbl[:k].astype(jnp.uint8)], axis=-1)
+        planes = jnp.concatenate([img_u8, lbl[:k]], axis=-1)
         rot = _rotate_u8(planes, wp[:k], nearest=False,
                          fill_u8=np.array([128, 128, 128, 0], np.uint8),
                          nearest_tail=1)
         img = jnp.concatenate([rot[..., :3].astype(jnp.bfloat16), img[k:]],
                               axis=0)
-        lbl = jnp.concatenate([rot[..., 3:].astype(lbl.dtype), lbl[k:]],
-                              axis=0)
-    lbl = jnp.round(lbl.astype(jnp.float32))[..., 0].astype(jnp.int32)
+        lbl = jnp.concatenate([rot[..., 3:], lbl[k:]], axis=0)
+    lbl = lbl[..., 0].astype(jnp.int32)
 
     if letterbox:
         out = img
