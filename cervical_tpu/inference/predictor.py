@@ -136,6 +136,25 @@ class SegPredictor:
             f.write(blob)
         return path
 
+    def export_savedmodel(self, path: str, batch_size: int = 1):
+        """TF SavedModel export via jax2tf — the interchange-format analogue
+        of the reference's ONNX export (deeplab.py:266-302) for serving
+        stacks that ingest TF graphs."""
+        import tensorflow as tf
+        from jax.experimental import jax2tf
+
+        h, w = self.cfg.data.input_shape
+        dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+        fwd_tf = jax2tf.convert(self._forward, with_gradient=False)
+        module = tf.Module()
+        module.f = tf.function(
+            fwd_tf,
+            input_signature=[tf.TensorSpec((batch_size, h, w, 3),
+                                           tf.as_dtype(np.dtype(dtype)))],
+            autograph=False)
+        tf.saved_model.save(module, path)
+        return path
+
 
 def evaluate_miou_dir(gt_dir: str, pred_dir: str, png_name_list,
                       num_classes: int, name_classes=None,

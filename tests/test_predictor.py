@@ -57,3 +57,12 @@ def test_export_stablehlo(predictor, tmp_path):
     exported = jax_export.deserialize(bytearray(data))
     out = exported.call(jnp.zeros((1, 32, 32, 3), jnp.float32))
     assert out.shape == (1, 32, 32, 5)
+
+
+@pytest.mark.slow
+def test_export_savedmodel(predictor, tmp_path):
+    tf = pytest.importorskip("tensorflow")
+    path = predictor.export_savedmodel(str(tmp_path / "sm"))
+    m = tf.saved_model.load(path)
+    out = m.f(tf.zeros((1, 32, 32, 3)))
+    assert tuple(out.shape) == (1, 32, 32, 5)
