@@ -225,10 +225,14 @@ class SegTrainer:
 
     def run_epoch(self, train_loader, val_loader, epoch: int, frozen: bool,
                   lr: float) -> EpochResult:
+        from cervical_tpu.data.pipeline import device_prefetch
+
         t0 = time.time()
         step_fn = self._train_step(frozen)
         tl, tf, n = 0.0, 0.0, 0
-        for images, labels in train_loader:
+        # host->device uploads overlap compute (and each process feeds its
+        # slice of the global batch under multihost) — data/pipeline.py
+        for images, labels in device_prefetch(train_loader, self.mesh):
             self.rng, pk, dk = jax.random.split(self.rng, 3)
             params_aug = aug_ops.sample_augment_params(
                 pk, images.shape[0], jitter=self.cfg.data.jitter,
@@ -237,17 +241,15 @@ class SegTrainer:
                 val=self.cfg.data.val,
                 rotate_prefix=max(1, images.shape[0] // 4),
                 blur_suffix=max(1, images.shape[0] // 4))
-            batch = shard_batch(self.mesh, (images, labels))
-            self.state, m = step_fn(self.state, batch[0], batch[1],
+            self.state, m = step_fn(self.state, images, labels,
                                     params_aug, jnp.asarray(lr), dk)
             tl += float(m["loss"])
             tf += float(m["f_score"])
             n += 1
         vl, vf, vn = 0.0, 0.0, 0
         eval_fn = self._eval_step()
-        for images, labels in val_loader:
-            batch = shard_batch(self.mesh, (images, labels))
-            m = eval_fn(self.state, batch[0], batch[1])
+        for images, labels in device_prefetch(val_loader, self.mesh):
+            m = eval_fn(self.state, images, labels)
             vl += float(m["loss"])
             vf += float(m["f_score"])
             vn += 1
