@@ -13,8 +13,10 @@ So the warp becomes:
 * rotation as three barrel-shifted shears (Paeth), each a ladder of static
   ``jnp.roll`` + per-row/column bit masks — VPU/bandwidth work, O(log
   max_shift) passes;
-* HSV jitter (one fused elementwise pass) + conditional separable 5x5 blur
-  (depthwise convs) from :mod:`cervical_tpu.ops.augment`.
+* batched fused HSV jitter (one elementwise pass) + conditional separable
+  5x5 blur on a fixed batch suffix (depthwise convs from
+  :mod:`cervical_tpu.ops.augment`; a shift-add variant measured slower on
+  the target chip).
 
 Semantics match the gather oracle exactly up to bf16 rounding and the
 documented multi-pass resampling differences of the shear rotation.
@@ -229,33 +231,6 @@ def _rotate(images, wp, nearest: bool, fill, max_angle_deg: float = 10.0):
     x = _barrel_shift(x, sh_y, 1, fill, nearest, ms_y)
     x = _barrel_shift(x, sh_x, 2, fill, nearest, ms_x)
     return x
-
-
-def _blur5_shift(x):
-    """Separable 5x5 binomial Gaussian via shifted adds (cv2 kernel
-    [1,4,6,4,1]/16; dataloader.py:118-120).
-
-    conv-shaped XLA ops run far below bandwidth on the target platform
-    (CLAUDE.md), so the blur is 4 shifted adds per axis.  Borders use the
-    edge-mirror approximation of the wrap-around rolls being corrected by a
-    reflected roll on the 2 outermost lines (REFLECT_101 up to a <=2px
-    frame, as in the pallas photometric kernel).
-    """
-    def blur1d(v, axis):
-        n = v.shape[axis]
-        idx_shape = [1, 1, 1, 1]
-        idx_shape[axis] = n
-        idx = jnp.arange(n).reshape(idx_shape)
-        acc = v * 0.375
-        for dist, wgt in ((1, 0.25), (2, 0.0625)):
-            plus = _roll(v, n - dist, axis)    # v[i + dist] (wraps at end)
-            minus = _roll(v, dist, axis)       # v[i - dist] (wraps at start)
-            plus = jnp.where(idx >= n - dist, _roll(v, dist, axis), plus)
-            minus = jnp.where(idx < dist, _roll(v, n - dist, axis), minus)
-            acc = acc + wgt * (plus + minus)
-        return acc
-
-    return blur1d(blur1d(x, 1), 2)
 
 
 def rotation_first_order(angles: "np.ndarray") -> "np.ndarray":
