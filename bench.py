@@ -8,9 +8,10 @@ nearest-neighbor label warp — replacing the reference's per-image PIL/cv2
 python loop (Segmentation/deeplabv3+/utils/dataloader.py:55-154).
 
 Implementation under test: the einsum/barrel warp backend
-(cervical_tpu/ops/warp_xla.py) with device-side parameter sampling and the
-rotating samples packed into a fixed prefix (rotate_capacity = 3B/8 covers
-the p=.25 Bernoulli draw with ~5-sigma headroom).
+(cervical_tpu/ops/warp_xla.py) with device-side parameter sampling, the
+rotating samples packed into a fixed prefix, the 4 uint8 planes packed into
+one uint32 lane through the 2-shear rotation ladder, and the 5x5 blur as
+banded-matrix einsums on a fixed suffix.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -23,7 +24,10 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_augmentation(batch=1024, size=512, iters=10, warmup=2):
+def bench_augmentation(batch=1024, size=512, iters=15, warmup=8):
+    # warmup=8: the first ~5 executions after (re)connecting the tunnel run
+    # 20-30% slow regardless of content (device/allocator warm-up — measured
+    # by permuting variant order in scripts/bench_warp_variants.py)
     from cervical_tpu.ops import augment as A
     from cervical_tpu.ops import warp_xla as WX
 
@@ -41,7 +45,8 @@ def bench_augmentation(batch=1024, size=512, iters=10, warmup=2):
                                          blur_suffix=capacity)
         return WX.augment_batch_einsum(images, labels, params, (size, size),
                                        rotate_capacity=capacity,
-                                       blur_capacity=capacity)
+                                       blur_capacity=capacity,
+                                       two_shear=True)
 
     key = jax.random.PRNGKey(0)
     out = pipeline(images, labels, key)

@@ -100,14 +100,21 @@ def f_score(logits, one_hot_labels, beta=1.0, smooth=1e-5, threshold=0.5):
     return jnp.mean(score)
 
 
-def softmax_cross_entropy(logits, labels):
+def softmax_cross_entropy(logits, labels, weights=None):
     """Plain mean CE over a batch of class logits (fusion heads).
 
     Reference: ``nn.CrossEntropyLoss()`` in my_train(full).py:202,318-322.
+    ``weights``: optional (B,) per-sample weights — a weighted mean over
+    nonzero-weight rows, used to pad ragged tail micro-batches to one
+    compiled shape (a 0/1 weight vector reproduces the reference's smaller
+    final micro-batch exactly).
     """
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
-    return jnp.mean(nll)
+    if weights is None:
+        return jnp.mean(nll)
+    w = weights.astype(jnp.float32)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def masked_mae_mse(mae_out, mae_labels, token_mask):
@@ -127,7 +134,8 @@ def masked_mae_mse(mae_out, mae_labels, token_mask):
 
 
 def fusion_multihead_loss(logits_dict, labels, head_weights=None,
-                          mae_mse=None, mse_factor=5.0, num_micro_batches=1):
+                          mae_mse=None, mse_factor=5.0, num_micro_batches=1,
+                          sample_weights=None):
     """Weighted multi-head CE sum + MAE-MSE auxiliary term.
 
     Reference weighting (my_train(full).py:325-341): fused head 1.0, each image
@@ -149,7 +157,7 @@ def fusion_multihead_loss(logits_dict, labels, head_weights=None,
     total = 0.0
     parts = {}
     for name, logits in logits_dict.items():
-        ce = softmax_cross_entropy(logits, labels)
+        ce = softmax_cross_entropy(logits, labels, sample_weights)
         parts[name] = ce
         total = total + default_w[name] * ce
     if mae_mse is not None:

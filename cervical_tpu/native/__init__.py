@@ -48,7 +48,7 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
-                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ]
             _lib = lib
         except Exception as e:  # pragma: no cover - toolchain-dependent
@@ -73,11 +73,16 @@ def default_threads() -> int:
 
 
 def load_batch(jpg_paths: Sequence[str], png_paths: Optional[Sequence[str]],
-               stage_hw, num_threads: Optional[int] = None):
+               stage_hw, num_threads: Optional[int] = None,
+               mask_cache: bool = True):
     """Decode a batch of (jpeg, png-mask) pairs into fresh numpy arrays.
 
     Returns (images (N, H, W, 3) uint8, labels (N, H, W) uint8, n_failures).
     ``png_paths=None`` skips masks (labels returned zeroed).
+    ``mask_cache``: write/read uncompressed ``<png>.rawmask`` sidecars —
+    PNG inflate dominates mask decode on small hosts (docs/ROADMAP.md),
+    so epochs after the first skip it.  Best-effort: read-only dataset
+    directories silently fall back to PNG decode every time.
     """
     lib = get_lib()
     if lib is None:
@@ -97,5 +102,5 @@ def load_batch(jpg_paths: Sequence[str], png_paths: Optional[Sequence[str]],
         jarr, parr, n,
         imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         lbls.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        h, w, num_threads)
+        h, w, num_threads, int(mask_cache))
     return imgs, lbls, int(failures)

@@ -14,6 +14,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -124,6 +125,66 @@ void resize_rgb(const Image& src, uint8_t* dst, int oh, int ow) {
   }
 }
 
+// --- raw mask sidecars -----------------------------------------------------
+// PNG inflate dominates mask decode on small-core hosts (docs/ROADMAP.md
+// item 6): after the first epoch, masks are re-read from an uncompressed
+// sidecar `<png>.rawmask` (header: magic, png byte size for freshness, h, w).
+
+constexpr uint32_t kSidecarMagic = 0x43524D31;  // "CRM1"
+
+struct SidecarHeader {
+  uint32_t magic;
+  uint32_t png_size;
+  int32_t h, w;
+};
+
+long file_size(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  fseek(f, 0, SEEK_END);
+  long n = ftell(f);
+  fclose(f);
+  return n;
+}
+
+bool read_sidecar(const std::string& path, long png_size, Image* img) {
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) return false;
+  SidecarHeader hd;
+  if (fread(&hd, sizeof(hd), 1, f) != 1 || hd.magic != kSidecarMagic ||
+      hd.png_size != static_cast<uint32_t>(png_size) || hd.h <= 0 ||
+      hd.w <= 0) {
+    fclose(f);
+    return false;
+  }
+  img->h = hd.h;
+  img->w = hd.w;
+  img->c = 1;
+  img->data.resize(size_t(hd.h) * hd.w);
+  bool ok = fread(img->data.data(), 1, img->data.size(), f) ==
+            img->data.size();
+  fclose(f);
+  return ok;
+}
+
+void write_sidecar(const std::string& path, long png_size, const Image& img) {
+  // best-effort (read-only dataset dirs are fine): temp file + rename so a
+  // concurrent reader never sees a torn sidecar
+  std::string tmp = path + ".tmp";
+  FILE* f = fopen(tmp.c_str(), "wb");
+  if (!f) return;
+  SidecarHeader hd{kSidecarMagic, static_cast<uint32_t>(png_size),
+                   img.h, img.w};
+  bool ok = fwrite(&hd, sizeof(hd), 1, f) == 1 &&
+            fwrite(img.data.data(), 1, img.data.size(), f) == img.data.size();
+  fclose(f);
+  if (ok) {
+    rename(tmp.c_str(), path.c_str());
+  } else {
+    remove(tmp.c_str());
+  }
+}
+
 void resize_nearest_gray(const Image& src, uint8_t* dst, int oh, int ow) {
   for (int y = 0; y < oh; ++y) {
     int sy = int((y + 0.5f) * src.h / oh);
@@ -143,10 +204,12 @@ extern "C" {
 // Decode n (jpeg image, png mask) pairs into preallocated buffers:
 //   imgs: n * stage_h * stage_w * 3 uint8 (NHWC)
 //   lbls: n * stage_h * stage_w uint8
+// use_mask_cache != 0 reads/writes uncompressed `<png>.rawmask` sidecars
+// (best-effort; stale sidecars are detected via the PNG's byte size).
 // Returns the number of failures (0 == all good). Failed slots are zeroed.
 int fill_batch(const char** jpg_paths, const char** png_paths, int n,
                uint8_t* imgs, uint8_t* lbls, int stage_h, int stage_w,
-               int num_threads) {
+               int num_threads, int use_mask_cache) {
   std::atomic<int> failures{0};
   std::atomic<int> next{0};
   auto worker = [&]() {
@@ -170,8 +233,20 @@ int fill_batch(const char** jpg_paths, const char** png_paths, int n,
       }
       if (png_paths && png_paths[i]) {
         Image msk;
-        bool mok = read_file(png_paths[i], &bytes) &&
-                   decode_png_gray(bytes, &msk);
+        bool mok = false;
+        std::string side;
+        long png_size = -1;
+        if (use_mask_cache) {
+          png_size = file_size(png_paths[i]);
+          side = std::string(png_paths[i]) + ".rawmask";
+          mok = png_size > 0 && read_sidecar(side, png_size, &msk);
+        }
+        if (!mok) {
+          mok = read_file(png_paths[i], &bytes) &&
+                decode_png_gray(bytes, &msk);
+          if (mok && use_mask_cache && png_size > 0)
+            write_sidecar(side, png_size, msk);
+        }
         if (mok) {
           if (msk.h == stage_h && msk.w == stage_w) {
             memcpy(lbl_dst, msk.data.data(), msk.data.size());

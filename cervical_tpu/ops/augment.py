@@ -365,6 +365,37 @@ def gaussian_blur(images, ksize: int = 5, sigma: float = 0.0):
     return x
 
 
+@functools.lru_cache(maxsize=8)
+def _blur_matrix(size: int, ksize: int, sigma: float) -> np.ndarray:
+    """(size, size) banded matrix applying the 1-D Gaussian with REFLECT_101
+    borders — lets the separable blur run as two batched matmuls on the MXU
+    (grouped convs execute far below roofline on the target platform,
+    docs/PLATFORM.md)."""
+    k = _gaussian_kernel_1d(ksize, sigma)
+    m = np.zeros((size, size), np.float32)
+    for o in range(size):
+        for t in range(ksize):
+            i = o + t - ksize // 2
+            if i < 0:
+                i = -i
+            if i >= size:
+                i = 2 * size - 2 - i
+            m[o, i] += k[t]
+    return m
+
+
+def gaussian_blur_einsum(images, ksize: int = 5, sigma: float = 0.0):
+    """Separable Gaussian blur as two einsums against constant banded
+    matrices (same REFLECT_101 semantics as :func:`gaussian_blur`; bf16
+    accumulation of a 5-tap convex combination of [0,255] values keeps the
+    error <= 1 count)."""
+    h, w = images.shape[1], images.shape[2]
+    mh = jnp.asarray(_blur_matrix(h, ksize, sigma), images.dtype)
+    mw = jnp.asarray(_blur_matrix(w, ksize, sigma), images.dtype)
+    x = jnp.einsum("oi,biwc->bowc", mh, images)
+    return jnp.einsum("pw,bhwc->bhpc", mw, x)
+
+
 # ---------------------------------------------------------------------------
 # Full pipeline
 # ---------------------------------------------------------------------------

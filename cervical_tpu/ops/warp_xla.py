@@ -10,13 +10,15 @@ So the warp becomes:
 * vertical + horizontal 1-D resample (scale + flip + paste + gray fill) as
   two batched einsums against per-image interpolation matrices built from
   iota/compares — MXU work, ~2 x 512^3 x 3 bf16 FLOPs per image;
-* rotation as three barrel-shifted shears (Paeth), each a ladder of static
-  ``jnp.roll`` + per-row/column bit masks — VPU/bandwidth work, O(log
-  max_shift) passes;
+* rotation as barrel-shifted shears (Paeth 3-shear, or the 2-shear
+  approximation with ``two_shear=True``), the four uint8 planes (RGB +
+  label) packed into one uint32 lane per pixel so each ladder stage moves
+  4x fewer elements (measured 1.3x; 2-shear a further 1.3x);
 * batched fused HSV jitter (one elementwise pass) + conditional separable
-  5x5 blur on a fixed batch suffix (depthwise convs from
-  :mod:`cervical_tpu.ops.augment`; a shift-add variant measured slower on
-  the target chip).
+  5x5 blur on a fixed batch suffix as two banded-matrix einsums
+  (:func:`cervical_tpu.ops.augment.gaussian_blur_einsum` — measured 6.8x
+  over the depthwise-conv form on the target chip, whose grouped convs run
+  far below roofline).
 
 Semantics match the gather oracle exactly up to bf16 rounding and the
 documented multi-pass resampling differences of the shear rotation.
@@ -187,6 +189,118 @@ def _barrel_shift_u8(x, shift, axis: int, fill_u8, nearest: bool,
     return jnp.where(valid, y, fill[None, None, None, :])
 
 
+_M_LO = np.uint32(0x00FF00FF)   # bytes 0 and 2 as 16-bit fields
+_RND = np.uint32(0x00800080)    # +128 rounding per field
+
+
+def _pack_u32(planes_u8):
+    """(B, H, W, 4) uint8 -> (B, H, W) uint32 (one lane per pixel)."""
+    return jax.lax.bitcast_convert_type(planes_u8, jnp.uint32)
+
+
+def _unpack_u32(packed):
+    """(B, H, W) uint32 -> (B, H, W, 4) uint8."""
+    return jax.lax.bitcast_convert_type(packed, jnp.uint8)
+
+
+def _barrel_shift_packed(y, shift, axis: int, fill_u32, max_shift: int,
+                         nearest_tail: bool):
+    """uint32-packed barrel shifter: 4 uint8 planes ride one 32-bit lane.
+
+    Same ladder + fixed-point fractional lerp as :func:`_barrel_shift_u8`
+    (bit-exact per byte), but every roll/select stage moves 4x fewer
+    elements.  The lerp is SWAR: even/odd bytes are split into 16-bit
+    fields of two uint32 words; per-field products stay < 2^16 because the
+    two weights sum to 256, so no cross-field carries.
+
+    ``nearest_tail``: byte 3 (the label plane) takes the nearest-neighbor
+    value instead of the lerp.  ``fill_u32``: packed per-byte fill word.
+    """
+    b = y.shape[0]
+    size = y.shape[axis]
+    s_int = jnp.floor(shift)
+    w8 = jnp.round((shift - s_int) * 256.0).astype(jnp.uint32)
+    u = jnp.clip(s_int, -max_shift, max_shift - 1).astype(jnp.int32) + max_shift
+    nbits = max(1, (2 * max_shift - 1).bit_length())
+    mshape = (b, size, 1) if axis == 2 else (b, 1, size)
+
+    y = _roll(y, -max_shift, axis)
+    for k in range(nbits):
+        bit = ((u >> k) & 1).astype(bool).reshape(mshape)
+        y = jnp.where(bit, _roll(y, 1 << k, axis), y)
+
+    w = w8.reshape(mshape)
+    y_next = _roll(y, 1, axis)
+    lo = (((y & _M_LO) * (256 - w) + (y_next & _M_LO) * w + _RND) >> 8) & _M_LO
+    hi = ((((y >> 8) & _M_LO) * (256 - w) + ((y_next >> 8) & _M_LO) * w
+           + _RND) >> 8) & _M_LO
+    lerp = lo | (hi << 8)
+    if nearest_tail:
+        near = jnp.where(w >= 128, y_next, y)
+        y = (lerp & np.uint32(0x00FFFFFF)) | (near & np.uint32(0xFF000000))
+    else:
+        y = lerp
+
+    coord = jnp.arange(size, dtype=jnp.float32)
+    if axis == 2:
+        cs = coord[None, None, :] - shift[:, :, None]
+    else:
+        cs = coord[None, :, None] - shift[:, None, :]
+    valid = (cs >= -0.5) & (cs <= size - 0.5)
+    return jnp.where(valid, y, fill_u32)
+
+
+def _unpack_bytes(packed, lo: int, hi: int, dtype):
+    """Extract bytes [lo, hi) of a packed uint32 word as a trailing channel
+    dim via shifts (avoids a bitcast whose sliced consumers trigger a
+    pathological 64 GB copy allocation in this platform's AOT compiler)."""
+    chans = [((packed >> (8 * i)) & np.uint32(0xFF)).astype(dtype)
+             for i in range(lo, hi)]
+    return jnp.stack(chans, axis=-1)
+
+
+def _rotate_packed(planes_u8, wp, fill_u8, max_angle_deg: float = 10.0,
+                   two_shear: bool = False, unpack: bool = True):
+    """uint32-packed shear rotation of 4 uint8 planes (image RGB + label).
+
+    Bit-exact with :func:`_rotate_u8` (``nearest_tail=1``) in 3-shear mode.
+    ``two_shear=True`` uses the Paeth 2-shear approximation
+    ``X(-tan t) . Y(sin t cos t)`` — determinant-1 but with O(theta^2)
+    (~1.5% at 10 deg) shape error, hidden under the reference's +-30%
+    aspect-ratio jitter (dataloader.py:84); saves one full barrel ladder.
+    ``unpack=False`` returns the packed (B, H, W) uint32 word (extract
+    channels with :func:`_unpack_bytes`).
+    """
+    b, s, _, c4 = planes_u8.shape
+    assert c4 == 4
+    c = float(s // 2)
+    rad = np.deg2rad(max_angle_deg)
+    grid = jnp.arange(s, dtype=jnp.float32) - c
+    fill_u32 = np.frombuffer(
+        np.asarray(fill_u8, np.uint8).tobytes(), np.uint32)[0]
+    y = _pack_u32(planes_u8)
+    if two_shear:
+        sint = wp[:, P_SINT][:, None]
+        cost = jnp.sqrt(jnp.maximum(1.0 - sint * sint, 1e-6))
+        sh_x = -(sint / cost) * grid[None, :]
+        sh_y = (sint * cost) * grid[None, :]
+        ms_x = int(np.ceil(np.tan(rad) * (s - c))) + 2
+        ms_y = int(np.ceil(np.sin(rad) * np.cos(rad) * (s - c))) + 2
+        y = _barrel_shift_packed(y, sh_x, 2, fill_u32, ms_x, True)
+        y = _barrel_shift_packed(y, sh_y, 1, fill_u32, ms_y, True)
+    else:
+        tanh = wp[:, P_TANH][:, None]
+        sint = wp[:, P_SINT][:, None]
+        sh_x = -tanh * grid[None, :]
+        sh_y = sint * grid[None, :]
+        ms_x = int(np.ceil(np.tan(rad / 2) * (s - c))) + 2
+        ms_y = int(np.ceil(np.sin(rad) * (s - c))) + 2
+        y = _barrel_shift_packed(y, sh_x, 2, fill_u32, ms_x, True)
+        y = _barrel_shift_packed(y, sh_y, 1, fill_u32, ms_y, True)
+        y = _barrel_shift_packed(y, sh_x, 2, fill_u32, ms_x, True)
+    return _unpack_u32(y) if unpack else y
+
+
 def _rotate_u8(images_u8, wp, nearest: bool, fill_u8,
                max_angle_deg: float = 10.0, nearest_tail: int = 0):
     """uint8 Paeth 3-shear rotation (see :func:`_rotate`).
@@ -249,21 +363,23 @@ def rotation_first_order(angles: "np.ndarray") -> "np.ndarray":
 @functools.partial(jax.jit, static_argnames=("dst_hw", "letterbox",
                                              "normalized", "rotate",
                                              "rotate_capacity",
-                                             "blur_capacity"))
+                                             "blur_capacity", "two_shear"))
 def augment_batch_einsum(images, labels, params, dst_hw: Tuple[int, int],
                          letterbox: bool = False, normalized: bool = True,
                          rotate: bool = True, rotate_capacity: int = 0,
-                         blur_capacity: int = 0):
+                         blur_capacity: int = 0, two_shear: bool = False):
     """Fast-path equivalent of :func:`cervical_tpu.ops.augment.augment_batch`.
 
     ``rotate_capacity`` > 0 restricts the shear rotation to the first K
     samples (use with ``sample_augment_params(rotate_prefix=K)``); 0 rotates
     the full batch.  ``blur_capacity`` > 0 likewise restricts the 5x5 blur
-    to the *last* K samples (``blur_suffix=K``).  Returns (images
-    (B, S, S, 3) bf16 — [0,1] if normalized else [0,255] — labels
-    (B, S, S) int32).
+    to the *last* K samples (``blur_suffix=K``).  ``two_shear`` opts into
+    the faster 2-shear rotation approximation (see :func:`_rotate_packed`).
+    Returns (images (B, S, S, 3) bf16 — [0,1] if normalized else [0,255] —
+    labels (B, S, S) int32).
     """
     s = dst_hw[0]
+    b = images.shape[0]
     wp = make_warp_params(params, images.shape[1:3], dst_hw,
                           letterbox=letterbox)
     fill = wp[:, P_FILL]
@@ -271,21 +387,23 @@ def augment_batch_einsum(images, labels, params, dst_hw: Tuple[int, int],
     img = _resample(images, wp, s, nearest=False, fill=fill)
     lbl = _resample(labels[..., None], wp, s, nearest=True,
                     fill=jnp.zeros_like(fill))
-
     lbl = jnp.round(lbl.astype(jnp.float32)).astype(jnp.uint8)
+
     if rotate and not letterbox:
-        k = rotate_capacity if rotate_capacity > 0 else img.shape[0]
+        k = rotate_capacity if rotate_capacity > 0 else b
         img_u8 = jnp.clip(jnp.round(img[:k].astype(jnp.float32)),
                           0, 255).astype(jnp.uint8)
         # the label plane rides the image ladder as a 4th uint8 channel
-        # (nearest-neighbor via the tail-channel mode, fill 0)
+        # (nearest-neighbor via the tail-channel mode, fill 0), all four
+        # packed into one uint32 lane per pixel
         planes = jnp.concatenate([img_u8, lbl[:k]], axis=-1)
-        rot = _rotate_u8(planes, wp[:k], nearest=False,
-                         fill_u8=np.array([128, 128, 128, 0], np.uint8),
-                         nearest_tail=1)
-        img = jnp.concatenate([rot[..., :3].astype(jnp.bfloat16), img[k:]],
-                              axis=0)
-        lbl = jnp.concatenate([rot[..., 3:], lbl[k:]], axis=0)
+        rot = _rotate_packed(planes, wp[:k],
+                             np.array([128, 128, 128, 0], np.uint8),
+                             two_shear=two_shear, unpack=False)
+        img = jnp.concatenate([_unpack_bytes(rot, 0, 3, jnp.bfloat16),
+                               img[k:]], axis=0)
+        lbl = jnp.concatenate([_unpack_bytes(rot, 3, 4, jnp.uint8),
+                               lbl[k:]], axis=0)
     lbl = lbl[..., 0].astype(jnp.int32)
 
     if letterbox:
@@ -297,12 +415,12 @@ def augment_batch_einsum(images, labels, params, dst_hw: Tuple[int, int],
         out = aug.hsv_jitter_batched(img, params["gains"]).astype(jnp.bfloat16)
         if blur_capacity > 0:
             tail = out[-blur_capacity:]
-            blurred = aug.gaussian_blur(tail)
+            blurred = aug.gaussian_blur_einsum(tail)
             tail = jnp.where(params["blur"][-blur_capacity:, None, None, None],
                              blurred, tail)
             out = jnp.concatenate([out[:-blur_capacity], tail], axis=0)
         else:
-            blurred = aug.gaussian_blur(out)
+            blurred = aug.gaussian_blur_einsum(out)
             out = jnp.where(params["blur"][:, None, None, None], blurred, out)
         out = out.astype(jnp.bfloat16)
     if normalized:

@@ -79,7 +79,8 @@ class FusionTrainer:
         mods = tuple(cfg.modalities)
 
         @jax.jit
-        def step(state, feats, labels, mae_mask, lr, do_step, dropout_rng):
+        def step(state, feats, labels, mae_mask, lr, do_step, dropout_rng,
+                 weights):
             def loss_fn(params):
                 out = self.model.apply(
                     {"params": params}, feats, mae_mask=mae_mask,
@@ -88,14 +89,17 @@ class FusionTrainer:
                 mae_mse = None
                 if cfg.add_mse_loss_of_mae and len(mods) > 1:
                     # reference accumulates factor*mse per sample then /iter;
-                    # batched: mean over samples of per-sample masked mse
+                    # batched: (weighted) mean over samples of per-sample
+                    # masked mse — weight 0 marks padding rows
                     per = jax.vmap(losses.masked_mae_mse)(
                         out["mae_out"], out["mae_labels"], mae_mask)
-                    mae_mse = cfg.mse_loss_of_mae_factor * jnp.mean(per)
+                    wsum = jnp.maximum(jnp.sum(weights), 1.0)
+                    mae_mse = (cfg.mse_loss_of_mae_factor
+                               * jnp.sum(per * weights) / wsum)
                 total, parts = losses.fusion_multihead_loss(
                     logits, labels, hw, mae_mse,
                     mse_factor=cfg.mse_loss_of_mae_factor,
-                    num_micro_batches=1)
+                    num_micro_batches=1, sample_weights=weights)
                 return total, (parts, logits)
 
             (total, (parts, logits)), grads = jax.value_and_grad(
@@ -129,14 +133,16 @@ class FusionTrainer:
         step = self.train_step_fn()
 
         @jax.jit
-        def epoch(state, feats_nb, labels_nb, masks_nb, lr, do_step, rngs_nb):
+        def epoch(state, feats_nb, labels_nb, masks_nb, lr, do_step, rngs_nb,
+                  weights_nb):
             def body(st, xs):
-                feats, labels, mask, rng = xs
-                st, m = step(st, feats, labels, mask, lr, do_step, rng)
+                feats, labels, mask, rng, w = xs
+                st, m = step(st, feats, labels, mask, lr, do_step, rng, w)
                 return st, (m["loss"], m["ce_all"], m["preds"])
 
             state, (loss, ce, preds) = jax.lax.scan(
-                body, state, (feats_nb, labels_nb, masks_nb, rngs_nb))
+                body, state, (feats_nb, labels_nb, masks_nb, rngs_nb,
+                              weights_nb))
             return state, {"loss": loss, "ce_all": ce, "preds": preds}
 
         self._epoch_scan = epoch
@@ -163,9 +169,10 @@ class FusionTrainer:
         """One epoch over the cohort in shuffled micro-batches
         (train_a_epoch, my_train(full).py:188-410).
 
-        With ``use_scan`` (default) the full-size micro-batches run as a
-        single ``lax.scan`` dispatch; a ragged tail batch runs as one extra
-        call, matching the reference's smaller final micro-batch.
+        With ``use_scan`` (default) the whole epoch runs as a single
+        ``lax.scan`` dispatch; a ragged tail batch is padded with weight-0
+        rows, whose weighted CE matches the reference's smaller final
+        micro-batch exactly while keeping one compiled shape.
         """
         cfg = self.cfg
         bs = batch_size or cfg.batch_size
@@ -180,46 +187,55 @@ class FusionTrainer:
         all_preds = {k: [] for k in ["all", *cfg.modalities]}
         all_true = []
 
-        n_full = (n // bs) if use_scan else 0
-        if n_full > 0:
-            idx = order[:n_full * bs].reshape(n_full, bs)
+        if use_scan:
+            # pad the ragged tail to a full micro-batch with weight-0 rows:
+            # the weighted CE over the padded batch equals the reference's
+            # smaller final micro-batch, and every fold/epoch shares ONE
+            # compiled scan shape per (n//bs) value (ragged tails used to
+            # pay a fresh slow AOT compile each, docs/ROADMAP.md item 3)
+            n_batches = (n + bs - 1) // bs
+            pad = n_batches * bs - n
+            order_p = np.concatenate([order, np.zeros(pad, order.dtype)])
+            w_p = np.concatenate([np.ones(n, np.float32),
+                                  np.zeros(pad, np.float32)])
+            idx = order_p.reshape(n_batches, bs)
             feats_nb = {m: jnp.asarray(v[idx])
                         for m, v in ds["feats"].items()}
             labels_nb = jnp.asarray(ds["labels"][idx])
             self.rng, mk, dk = jax.random.split(self.rng, 3)
             if t > 1:
-                masks_nb = generate_modal_masks(mk, n_full * bs, t
-                                                ).reshape(n_full, bs, t)
+                masks_nb = generate_modal_masks(mk, n_batches * bs, t
+                                                ).reshape(n_batches, bs, t)
             else:
-                masks_nb = jnp.zeros((n_full, bs, 1), bool)
-            rngs_nb = jax.random.split(dk, n_full)
+                masks_nb = jnp.zeros((n_batches, bs, 1), bool)
+            rngs_nb = jax.random.split(dk, n_batches)
             state, m = self.epoch_scan_fn()(
                 state, feats_nb, labels_nb, masks_nb,
-                jnp.asarray(lr), jnp.asarray(do_step), rngs_nb)
+                jnp.asarray(lr), jnp.asarray(do_step), rngs_nb,
+                jnp.asarray(w_p.reshape(n_batches, bs)))
             total_ce += float(jnp.sum(m["ce_all"]))
-            nb += n_full
+            nb += n_batches
             for k in all_preds:
-                all_preds[k].append(np.asarray(m["preds"][k]).reshape(-1))
-            all_true.append(ds["labels"][idx.reshape(-1)])
-
-        # ragged tail (and the whole epoch when use_scan=False)
-        for start in range(n_full * bs, n, bs):
-            idx = order[start:start + bs]
-            if len(idx) == 0:
-                continue
-            batch = subset(ds, idx)
-            feats = {m: jnp.asarray(v) for m, v in batch["feats"].items()}
-            labels = jnp.asarray(batch["labels"])
-            self.rng, mk, dk = jax.random.split(self.rng, 3)
-            mask = (generate_modal_masks(mk, len(idx), t) if t > 1
-                    else jnp.zeros((len(idx), 1), bool))
-            state, m = step(state, feats, labels, mask,
-                            jnp.asarray(lr), jnp.asarray(do_step), dk)
-            total_ce += float(m["ce_all"])
-            nb += 1
-            for k in all_preds:
-                all_preds[k].append(np.asarray(m["preds"][k]))
-            all_true.append(batch["labels"])
+                all_preds[k].append(
+                    np.asarray(m["preds"][k]).reshape(-1)[:n])
+            all_true.append(ds["labels"][order])
+        else:
+            for start in range(0, n, bs):
+                idx = order[start:start + bs]
+                batch = subset(ds, idx)
+                feats = {m: jnp.asarray(v) for m, v in batch["feats"].items()}
+                labels = jnp.asarray(batch["labels"])
+                self.rng, mk, dk = jax.random.split(self.rng, 3)
+                mask = (generate_modal_masks(mk, len(idx), t) if t > 1
+                        else jnp.zeros((len(idx), 1), bool))
+                state, m = step(state, feats, labels, mask,
+                                jnp.asarray(lr), jnp.asarray(do_step), dk,
+                                jnp.ones(len(idx), jnp.float32))
+                total_ce += float(m["ce_all"])
+                nb += 1
+                for k in all_preds:
+                    all_preds[k].append(np.asarray(m["preds"][k]))
+                all_true.append(batch["labels"])
 
         true = np.concatenate(all_true)
         report = {"loss": total_ce / max(nb, 1)}

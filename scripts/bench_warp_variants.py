@@ -1,0 +1,122 @@
+"""Profile augmentation-pipeline variants on the real TPU.
+
+Usage: python scripts/bench_warp_variants.py [variant ...]
+Variants: base, two_shear, b2048, rot_old, rot_packed, rot_two
+(default: base two_shear)
+
+Prints one JSON line per variant.  Follows the platform rules in
+CLAUDE.md: vary an input per timed iteration, force completion with a
+dependent scalar fetch, pipeline several dispatches.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _force(out):
+    """Force completion via a dependent scalar fetch (CLAUDE.md rule 2)."""
+    return sum(float(l[(0,) * l.ndim]) for l in jax.tree_util.tree_leaves(out))
+
+
+def timed(fn, args_fn, iters=10, warmup=2):
+    out = fn(*args_fn(0))
+    _force(out)
+    for i in range(warmup):
+        out = fn(*args_fn(i + 1))
+    _force(out)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(*args_fn(100 + i))
+    tot = sum(float(l.sum()) for l in jax.tree_util.tree_leaves(out))
+    dt = time.perf_counter() - t0
+    return dt / iters, tot
+
+
+def full_pipeline(batch, size, two_shear):
+    from cervical_tpu.ops import augment as A
+    from cervical_tpu.ops import warp_xla as WX
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (batch, size, size, 3)), jnp.uint8)
+    labels = jnp.asarray(rng.integers(0, 5, (batch, size, size)), jnp.uint8)
+    cap = batch // 4
+
+    @jax.jit
+    def pipe(images, labels, key):
+        params = A.sample_augment_params(key, batch, rotate_prefix=cap,
+                                         blur_suffix=cap)
+        return WX.augment_batch_einsum(images, labels, params, (size, size),
+                                       rotate_capacity=cap, blur_capacity=cap,
+                                       two_shear=two_shear)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 256)
+    dt, _ = timed(pipe, lambda i: (images, labels, keys[i % 256]))
+    return batch / dt
+
+
+def rotation_only(batch, size, mode):
+    from cervical_tpu.ops import augment as A
+    from cervical_tpu.ops import warp_xla as WX
+    rng = np.random.default_rng(0)
+    planes = jnp.asarray(rng.integers(0, 256, (batch, size, size, 4)), jnp.uint8)
+    fill = np.array([128, 128, 128, 0], np.uint8)
+
+    @jax.jit
+    def rot(planes, key):
+        p = A.sample_augment_params(key, batch, rotate_prefix=batch)
+        wp = WX.make_warp_params(p, (size, size), (size, size))
+        if mode == "old":
+            return WX._rotate_u8(planes, wp, nearest=False, fill_u8=fill,
+                                 nearest_tail=1)
+        return WX._rotate_packed(planes, wp, fill, two_shear=(mode == "two"))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 256)
+    dt, _ = timed(rot, lambda i: (planes, keys[i % 256]))
+    return batch / dt
+
+
+def blur_only(batch, size, mode):
+    from cervical_tpu.ops import augment as A
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 256, (batch, size, size, 3)),
+                    jnp.bfloat16)
+    fn = A.gaussian_blur if mode == "conv" else A.gaussian_blur_einsum
+    jfn = jax.jit(lambda x, s: fn(x + s))
+    dt, _ = timed(jfn, lambda i: (x, jnp.bfloat16(i % 7)))
+    return batch / dt
+
+
+def main():
+    variants = sys.argv[1:] or ["base", "two_shear"]
+    for v in variants:
+        t0 = time.perf_counter()
+        if v == "base":
+            ips = full_pipeline(1024, 512, False)
+        elif v == "two_shear":
+            ips = full_pipeline(1024, 512, True)
+        elif v == "b2048":
+            ips = full_pipeline(2048, 512, True)
+        elif v == "rot_old":
+            ips = rotation_only(256, 512, "old")
+        elif v == "rot_packed":
+            ips = rotation_only(256, 512, "packed")
+        elif v == "rot_two":
+            ips = rotation_only(256, 512, "two")
+        elif v == "blur_conv":
+            ips = blur_only(256, 512, "conv")
+        elif v == "blur_einsum":
+            ips = blur_only(256, 512, "einsum")
+        else:
+            print(json.dumps({"variant": v, "error": "unknown"}))
+            continue
+        print(json.dumps({"variant": v, "images_per_sec": round(ips, 1),
+                          "wall_incl_compile_s": round(time.perf_counter() - t0, 1)}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

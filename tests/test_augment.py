@@ -158,3 +158,17 @@ def test_scale_range_covers_reference():
     assert ang.min() >= -10 and ang.max() <= 10
     g = np.asarray(params["gains"])
     assert g[:, 0].min() >= 0.9 and g[:, 0].max() <= 1.1
+
+
+def test_gaussian_blur_einsum_matches_conv():
+    import jax.numpy as jnp
+    from cervical_tpu.ops import augment as A
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.integers(0, 256, (3, 40, 40, 3)), jnp.float32)
+    conv = np.asarray(A.gaussian_blur(x))
+    eins = np.asarray(A.gaussian_blur_einsum(x))
+    np.testing.assert_allclose(eins, conv, atol=5e-3, rtol=0)
+    # bf16 path (the production dtype): within 1 uint8 count
+    xb = x.astype(jnp.bfloat16)
+    eb = np.asarray(A.gaussian_blur_einsum(xb), np.float32)
+    np.testing.assert_allclose(eb, conv, atol=1.0, rtol=0)

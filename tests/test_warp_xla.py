@@ -95,3 +95,50 @@ def test_normalized_output_range():
     arr = np.asarray(oi, np.float32)
     assert arr.min() >= 0.0 and arr.max() <= 1.0
     assert oi.dtype == jnp.bfloat16
+
+
+def test_packed_rotation_bit_exact_with_u8_ladder():
+    rng = np.random.default_rng(7)
+    planes = jnp.asarray(rng.integers(0, 256, (B, S, S, 4)), jnp.uint8)
+    p = A.sample_augment_params(jax.random.PRNGKey(7), B, rotate_prefix=B)
+    wp = WX.make_warp_params(p, (S, S), (S, S))
+    fill = np.array([128, 128, 128, 0], np.uint8)
+    old = WX._rotate_u8(planes, wp, nearest=False, fill_u8=fill,
+                        nearest_tail=1)
+    new = WX._rotate_packed(planes, wp, fill)
+    np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+
+
+def test_two_shear_close_on_smooth_content():
+    # two-shear is a geometric approximation (~0.5px at 10 deg); on smooth
+    # content it must stay within a couple of uint8 counts of the 3-shear
+    yy, xx = np.meshgrid(np.arange(S), np.arange(S), indexing="ij")
+    smooth = np.stack([xx * 255 / S, yy * 255 / S,
+                       (xx + yy) * 255 / (2 * S)], -1).astype(np.uint8)
+    planes = jnp.asarray(np.concatenate(
+        [np.broadcast_to(smooth[None], (B, S, S, 3)),
+         np.zeros((B, S, S, 1), np.uint8)], -1))
+    p = A.sample_augment_params(jax.random.PRNGKey(3), B, rotate_prefix=B)
+    wp = WX.make_warp_params(p, (S, S), (S, S))
+    fill = np.array([128, 128, 128, 0], np.uint8)
+    three = np.asarray(WX._rotate_packed(planes, wp, fill))
+    two = np.asarray(WX._rotate_packed(planes, wp, fill, two_shear=True))
+    m = slice(S // 4, -S // 4)  # interior, away from fill borders
+    d = np.abs(three[:, m, m, :3].astype(int) - two[:, m, m, :3].astype(int))
+    assert d.max() <= 3 and d.mean() < 1.0
+
+
+def test_blur_capacity_matches_masked_full():
+    images, labels = _data(5)
+    p = dict(A.sample_augment_params(jax.random.PRNGKey(6), B,
+                                     rotate_prefix=1, blur_suffix=2))
+    full = WX.augment_batch_einsum(images, labels, p, (S, S),
+                                   normalized=False, rotate_capacity=1)
+    cap = WX.augment_batch_einsum(images, labels, p, (S, S),
+                                  normalized=False, rotate_capacity=1,
+                                  blur_capacity=2)
+    # 1-ulp bf16 slack: XLA fuses the HSV chain differently when its
+    # consumer set changes (blur-everything vs blur-the-tail programs)
+    np.testing.assert_allclose(np.asarray(full[0], np.float32),
+                               np.asarray(cap[0], np.float32), atol=1.0)
+    np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(cap[1]))
