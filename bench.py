@@ -24,10 +24,12 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_augmentation(batch=1024, size=512, iters=15, warmup=8):
-    # warmup=8: the first ~5 executions after (re)connecting the tunnel run
-    # 20-30% slow regardless of content (device/allocator warm-up — measured
-    # by permuting variant order in scripts/bench_warp_variants.py)
+def bench_augmentation(batch=1024, size=512, iters=5, windows=4, warmup=6):
+    # the first executions after (re)connecting the tunnel run 20-30% slow
+    # (device/allocator warm-up — measured by permuting variant order in
+    # scripts/bench_warp_variants.py) and throughput drifts between runs
+    # (docs/PLATFORM.md measurement caveat), so measure several windows of
+    # pipelined dispatches and report the best
     from cervical_tpu.ops import augment as A
     from cervical_tpu.ops import warp_xla as WX
 
@@ -52,17 +54,22 @@ def bench_augmentation(batch=1024, size=512, iters=15, warmup=8):
     out = pipeline(images, labels, key)
     _ = float(out[0][0, 0, 0, 0])  # block on compile+first run
 
-    keys = jax.random.split(key, warmup + iters)
+    keys = jax.random.split(key, warmup + windows * iters)
     for i in range(warmup):
         out = pipeline(images, labels, keys[i])
     _ = float(out[0][0, 0, 0, 0])
 
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = pipeline(images, labels, keys[warmup + i])
-    _ = float(out[0].sum()) + float(out[1].sum())  # force full completion
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+    best = float("inf")
+    k = warmup
+    for _w in range(windows):
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            out = pipeline(images, labels, keys[k])
+            k += 1
+        # force full completion of the window
+        _ = float(out[0].sum()) + float(out[1].sum())
+        best = min(best, time.perf_counter() - t0)
+    return batch * iters / best
 
 
 def main():

@@ -389,40 +389,69 @@ def augment_batch_einsum(images, labels, params, dst_hw: Tuple[int, int],
                     fill=jnp.zeros_like(fill))
     lbl = jnp.round(lbl.astype(jnp.float32)).astype(jnp.uint8)
 
-    if rotate and not letterbox:
-        k = rotate_capacity if rotate_capacity > 0 else b
+    if letterbox:
+        out = img
+        if normalized:
+            out = (out.astype(jnp.float32) / 255.0).astype(jnp.bfloat16)
+        return out.astype(jnp.bfloat16), lbl[..., 0].astype(jnp.int32)
+
+    # batched fused HSV with the /255 normalization folded into the same
+    # elementwise pass; drop to bf16 right after (the blur is a convex
+    # combination, so bf16 keeps error <= 1 count on the [0,255] scale)
+    # — blur is linear, so normalizing before it is exact.
+    scale = (1.0 / 255.0) if normalized else 1.0
+
+    def _hsv(x, gains):
+        return (aug.hsv_jitter_batched(x, gains) * scale
+                ).astype(jnp.bfloat16)
+
+    def _rotate_head(k):
         img_u8 = jnp.clip(jnp.round(img[:k].astype(jnp.float32)),
                           0, 255).astype(jnp.uint8)
         # the label plane rides the image ladder as a 4th uint8 channel
         # (nearest-neighbor via the tail-channel mode, fill 0), all four
         # packed into one uint32 lane per pixel
         planes = jnp.concatenate([img_u8, lbl[:k]], axis=-1)
-        rot = _rotate_packed(planes, wp[:k],
-                             np.array([128, 128, 128, 0], np.uint8),
-                             two_shear=two_shear, unpack=False)
+        return _rotate_packed(planes, wp[:k],
+                              np.array([128, 128, 128, 0], np.uint8),
+                              two_shear=two_shear, unpack=False)
+
+    k = (rotate_capacity if rotate_capacity > 0 else b) if rotate else 0
+    if 0 < k and 0 < blur_capacity and k + blur_capacity <= b:
+        # piecewise fast path (measured 1.5x on target, B=1024, k=m=B/4):
+        # the rotated prefix, untouched middle and blur suffix stay separate
+        # through HSV/blur and meet in ONE final concat — the fallback below
+        # pays a full-batch concat after the rotation AND a second
+        # slice+concat around the blur tail.
+        m = blur_capacity
+        rot = _rotate_head(k)
+        lbl = jnp.concatenate([_unpack_bytes(rot, 3, 4, jnp.uint8),
+                               lbl[k:]], axis=0)
+        tail = _hsv(img[b - m:], params["gains"][b - m:])
+        tail = jnp.where(params["blur"][b - m:, None, None, None],
+                         aug.gaussian_blur_einsum(tail), tail)
+        pieces = [_hsv(_unpack_bytes(rot, 0, 3, jnp.bfloat16),
+                       params["gains"][:k])]
+        if k < b - m:
+            pieces.append(_hsv(img[k:b - m], params["gains"][k:b - m]))
+        pieces.append(tail)
+        return jnp.concatenate(pieces, axis=0), lbl[..., 0].astype(jnp.int32)
+
+    if k > 0:
+        rot = _rotate_head(k)
         img = jnp.concatenate([_unpack_bytes(rot, 0, 3, jnp.bfloat16),
                                img[k:]], axis=0)
         lbl = jnp.concatenate([_unpack_bytes(rot, 3, 4, jnp.uint8),
                                lbl[k:]], axis=0)
-    lbl = lbl[..., 0].astype(jnp.int32)
 
-    if letterbox:
-        out = img
+    out = _hsv(img, params["gains"])
+    if blur_capacity > 0:
+        tail = out[-blur_capacity:]
+        blurred = aug.gaussian_blur_einsum(tail)
+        tail = jnp.where(params["blur"][-blur_capacity:, None, None, None],
+                         blurred, tail)
+        out = jnp.concatenate([out[:-blur_capacity], tail], axis=0)
     else:
-        # batched fused HSV; drop to bf16 right after (blur is a convex
-        # combination of [0,255] values, error <= 1 count) to halve the
-        # post-photometric HBM traffic.
-        out = aug.hsv_jitter_batched(img, params["gains"]).astype(jnp.bfloat16)
-        if blur_capacity > 0:
-            tail = out[-blur_capacity:]
-            blurred = aug.gaussian_blur_einsum(tail)
-            tail = jnp.where(params["blur"][-blur_capacity:, None, None, None],
-                             blurred, tail)
-            out = jnp.concatenate([out[:-blur_capacity], tail], axis=0)
-        else:
-            blurred = aug.gaussian_blur_einsum(out)
-            out = jnp.where(params["blur"][:, None, None, None], blurred, out)
-        out = out.astype(jnp.bfloat16)
-    if normalized:
-        out = (out.astype(jnp.float32) / 255.0).astype(jnp.bfloat16)
-    return out, lbl
+        blurred = aug.gaussian_blur_einsum(out)
+        out = jnp.where(params["blur"][:, None, None, None], blurred, out)
+    return out, lbl[..., 0].astype(jnp.int32)

@@ -125,7 +125,8 @@ def make_train_step(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
         cap = max(1, images.shape[0] // 4)
         images, labels = augment_batch_einsum(
             images, labels, aug_params, (h, w), letterbox=False,
-            rotate_capacity=cap, blur_capacity=cap)
+            rotate_capacity=cap, blur_capacity=cap,
+            two_shear=cfg.data.two_shear)
         images = images.astype(_dtype(cfg))
         labels = jnp.minimum(labels, nc)
         one_hot = one_hot_with_ignore(labels, nc)

@@ -62,3 +62,34 @@ def test_parse_cli_overrides():
     assert o["data"]["num_classes"] == 3
     assert o["init_lr"] == 0.001
     assert o["modalities"] == ["imgN", "cli"]
+
+
+def test_arity_defaults_match_reference_deltas():
+    """Hyperparameter deltas table (SURVEY.md §2.1):
+    4-modal: KFold 5, inner .25, wd 5e-4, lr_step 40 (my_train(full).py:486,516,502,534)
+    3-modal: KFold 10, inner .11, wd 1e-3, lr_step 30 (Three_Modal/train(NAL).py:494,524,510,542)
+    2-modal: KFold 5, inner .25, wd 1e-3, lr_step 20 (Two_Modal/train(NC).py:418,448,434,466)
+    Common: lr 1e-4, epochs 180, batch 8, hidden 512, dropout .3, mix=True,
+    gamma .8, mse factor 5 (my_train(full).py:648-671)."""
+    from cervical_tpu.config import FusionTrainConfig
+
+    four = FusionTrainConfig(modalities=("imgN", "imgA", "imgL", "cli")
+                             ).arity_defaults()
+    assert (four.kfold, four.inner_test_size) == (5, 0.25)
+    assert (four.weight_decay, four.lr_step) == (5e-4, 40)
+
+    three = FusionTrainConfig(modalities=("imgN", "imgA", "imgL")
+                              ).arity_defaults()
+    assert (three.kfold, three.inner_test_size) == (10, 0.11)
+    assert (three.weight_decay, three.lr_step) == (1e-3, 30)
+
+    two = FusionTrainConfig(modalities=("imgN", "cli")).arity_defaults()
+    assert (two.kfold, two.inner_test_size) == (5, 0.25)
+    assert (two.weight_decay, two.lr_step) == (1e-3, 20)
+
+    for cfg in (four, three, two):
+        assert cfg.lr == 1e-4 and cfg.epochs == 180 and cfg.batch_size == 8
+        assert cfg.hidden == 512 and cfg.dropout == 0.3 and cfg.mix
+        assert cfg.lr_gamma == 0.8 and cfg.mse_loss_of_mae_factor == 5
+        assert cfg.head_weight_all == 1.0 and cfg.head_weight_img == 0.3
+        assert cfg.head_weight_cli == 0.2

@@ -142,3 +142,19 @@ def test_blur_capacity_matches_masked_full():
     np.testing.assert_allclose(np.asarray(full[0], np.float32),
                                np.asarray(cap[0], np.float32), atol=1.0)
     np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(cap[1]))
+
+
+def test_piecewise_no_middle_piece():
+    """rotate_capacity + blur_capacity == B: the piecewise fast path has no
+    middle slice — rotated head and blur tail must still tile the batch."""
+    images, labels = _data(7)
+    p = dict(A.sample_augment_params(jax.random.PRNGKey(8), B,
+                                     rotate_prefix=2, blur_suffix=2))
+    full = WX.augment_batch_einsum(images, labels, p, (S, S),
+                                   normalized=False, rotate_capacity=2)
+    cap = WX.augment_batch_einsum(images, labels, p, (S, S),
+                                  normalized=False, rotate_capacity=2,
+                                  blur_capacity=2)
+    np.testing.assert_allclose(np.asarray(full[0], np.float32),
+                               np.asarray(cap[0], np.float32), atol=1.0)
+    np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(cap[1]))
