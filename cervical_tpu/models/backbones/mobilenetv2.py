@@ -19,6 +19,8 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
+from cervical_tpu.ops.conv import Conv
+
 # t (expand), c (channels), n (repeats), s (stride) — mobilenetv2.py:80-89
 INVERTED_RESIDUAL_SETTING = (
     (1, 16, 1, 1),
@@ -58,7 +60,7 @@ class ConvBNReLU6(nn.Module):
                                  name="conv")(x)
         else:
             pad = self.dilation * (self.kernel // 2)
-            x = nn.Conv(self.features, (self.kernel, self.kernel),
+            x = Conv(self.features, (self.kernel, self.kernel),
                         strides=self.stride, padding=pad,
                         kernel_dilation=self.dilation,
                         feature_group_count=self.groups, use_bias=False,
@@ -89,7 +91,7 @@ class InvertedResidual(nn.Module):
         y = ConvBNReLU6(hidden, kernel=3, stride=self.stride,
                         dilation=self.dilation, groups=hidden,
                         dtype=self.dtype, name="depthwise")(y, train)
-        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+        y = Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
                     name="project")(y)
         y = nn.BatchNorm(use_running_average=not train, **_bn(),
                          dtype=self.dtype, name="project_bn")(y)

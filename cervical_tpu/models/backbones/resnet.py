@@ -16,6 +16,8 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
+from cervical_tpu.ops.conv import Conv
+
 _BN = dict(momentum=0.9, epsilon=1e-5)
 
 STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
@@ -34,22 +36,22 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         needs_proj = x.shape[-1] != self.features * 4 or self.stride != 1
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+        y = Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, **_BN,
                          dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), strides=self.stride, padding=1,
+        y = Conv(self.features, (3, 3), strides=self.stride, padding=1,
                     use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = nn.BatchNorm(use_running_average=not train, **_BN,
                          dtype=self.dtype, name="bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features * 4, (1, 1), use_bias=False,
+        y = Conv(self.features * 4, (1, 1), use_bias=False,
                     dtype=self.dtype, name="conv3")(y)
         y = nn.BatchNorm(use_running_average=not train, **_BN,
                          dtype=self.dtype, name="bn3")(y)
         if needs_proj:
-            residual = nn.Conv(self.features * 4, (1, 1), strides=self.stride,
+            residual = Conv(self.features * 4, (1, 1), strides=self.stride,
                                use_bias=False, dtype=self.dtype,
                                name="downsample_conv")(x)
             residual = nn.BatchNorm(use_running_average=not train, **_BN,
@@ -70,7 +72,7 @@ class ResNetFeaturizer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         blocks = STAGE_BLOCKS[self.depth]
-        y = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+        y = Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, **_BN,
                          dtype=self.dtype, name="bn1")(y)

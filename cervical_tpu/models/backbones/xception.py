@@ -17,6 +17,8 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
+from cervical_tpu.ops.conv import Conv
+
 from cervical_tpu.ops.depthwise import depthwise_conv3x3
 
 _BN = dict(momentum=1.0 - 0.0003, epsilon=1e-5)
@@ -65,7 +67,7 @@ class SeparableConv(nn.Module):
                                  name="depthwise")(x)
         else:
             pad = self.dilation * (self.kernel // 2)
-            x = nn.Conv(inp, (self.kernel, self.kernel), strides=self.stride,
+            x = Conv(inp, (self.kernel, self.kernel), strides=self.stride,
                         padding=pad, kernel_dilation=self.dilation,
                         feature_group_count=inp, use_bias=False,
                         dtype=self.dtype, name="depthwise")(x)
@@ -73,7 +75,7 @@ class SeparableConv(nn.Module):
                          dtype=self.dtype, name="bn1")(x)
         if not self.activate_first:
             x = nn.relu(x)
-        x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+        x = Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
                     name="pointwise")(x)
         x = nn.BatchNorm(use_running_average=not train, **_BN,
                          dtype=self.dtype, name="bn2")(x)
@@ -101,7 +103,7 @@ class XceptionBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         inp = x.shape[-1]
         if self.features != inp or self.stride != 1:
-            skip = nn.Conv(self.features, (1, 1), strides=self.stride,
+            skip = Conv(self.features, (1, 1), strides=self.stride,
                            use_bias=False, dtype=self.dtype, name="skip")(x)
             skip = nn.BatchNorm(use_running_average=not train, **_BN,
                                 dtype=self.dtype, name="skip_bn")(skip)
@@ -139,12 +141,12 @@ class XceptionBackbone(nn.Module):
                 f"output stride {self.downsample_factor} is not supported")
         rate = 16 // self.downsample_factor
 
-        x = nn.Conv(32, (3, 3), strides=2, padding=1, use_bias=False,
+        x = Conv(32, (3, 3), strides=2, padding=1, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, **_BN,
                          dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
-        x = nn.Conv(64, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+        x = Conv(64, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
                     name="conv2")(x)
         x = nn.BatchNorm(use_running_average=not train, **_BN,
                          dtype=self.dtype, name="bn2")(x)

@@ -17,6 +17,8 @@ from typing import Optional
 import jax.numpy as jnp
 import flax.linen as nn
 
+from cervical_tpu.ops.conv import Conv
+
 from cervical_tpu.models.backbones import MobileNetV2Backbone, XceptionBackbone
 from cervical_tpu.ops.image import resize_bilinear
 
@@ -33,7 +35,7 @@ class _ConvBNReLU(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = self.dilation * (self.kernel // 2)
-        x = nn.Conv(self.features, (self.kernel, self.kernel), padding=pad,
+        x = Conv(self.features, (self.kernel, self.kernel), padding=pad,
                     kernel_dilation=self.dilation, use_bias=self.use_bias,
                     dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, **_BN,
@@ -107,6 +109,6 @@ class DeepLab(nn.Module):
         y = nn.Dropout(0.5)(y, deterministic=not train)
         y = _ConvBNReLU(256, 3, dtype=self.dtype, name="cat_conv2")(y, train)
         y = nn.Dropout(0.1)(y, deterministic=not train)
-        y = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="cls_conv")(y)
+        y = Conv(self.num_classes, (1, 1), dtype=self.dtype, name="cls_conv")(y)
         y = resize_bilinear(y.astype(jnp.float32), (h, w), align_corners=True)
         return y

@@ -1,0 +1,74 @@
+"""Time the full DeepLab train step on the real TPU: einsum vs lax convs.
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo \
+           python scripts/bench_seg_step.py [einsum|lax ...]
+Default: einsum lax (back-to-back in one session for a fair comparison).
+
+Reference shape: 512x512, batch 8, mobilenet backbone, unfrozen
+(train.py:94,133,107).  One JSON line per backend.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def bench(backend: str, backbone="mobilenet", batch=8, size=512, iters=8, warmup=4):
+    from cervical_tpu.ops import conv as C
+    from cervical_tpu.config import SegTrainConfig, SegDataConfig
+    from cervical_tpu.train import seg_trainer as T
+    from cervical_tpu.ops import augment as A
+
+    C.set_default_backend(backend)
+    cfg = SegTrainConfig(data=SegDataConfig(input_shape=(size, size),
+                                            num_classes=5),
+                         backbone=backbone, unfreeze_batch_size=batch)
+    state = T.create_state(cfg, jax.random.PRNGKey(0))
+    step = T.make_train_step(cfg, T.build_model(cfg), T.make_optimizer(cfg),
+                             frozen=False)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (batch, size, size, 3)),
+                         jnp.uint8)
+    labels = jnp.asarray(rng.integers(0, 5, (batch, size, size)), jnp.uint8)
+    cap = max(1, batch // 4)
+
+    def run(i):
+        key = jax.random.PRNGKey(i)
+        params = A.sample_augment_params(key, batch, rotate_prefix=cap,
+                                         blur_suffix=cap)
+        return step(state, images, labels, params, jnp.float32(1e-4), key)
+
+    t0 = time.perf_counter()
+    out_state, metrics = run(0)
+    _ = float(metrics["loss"])
+    compile_s = time.perf_counter() - t0
+    for i in range(warmup):
+        _, metrics = run(i + 1)
+    _ = float(metrics["loss"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        _, metrics = run(100 + i)
+    _ = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return dt, compile_s
+
+
+def main():
+    # args: backend[:backbone], e.g. "einsum:xception" (default mobilenet)
+    for arg in (sys.argv[1:] or ["einsum", "lax"]):
+        backend, _, backbone = arg.partition(":")
+        backbone = backbone or "mobilenet"
+        dt, compile_s = bench(backend, backbone)
+        print(json.dumps({"backend": backend, "backbone": backbone,
+                          "step_ms": round(dt * 1e3, 1),
+                          "images_per_sec": round(8 / dt, 1),
+                          "compile_s": round(compile_s, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
