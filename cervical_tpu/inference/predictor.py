@@ -40,18 +40,25 @@ class SegPredictor:
       2 — keep only foreground pixels of the original (black background).
     """
 
-    def __init__(self, cfg: SegTrainConfig, state, colors=None):
+    def __init__(self, cfg: SegTrainConfig, state, colors=None,
+                 conv_backend: str = "einsum"):
         from cervical_tpu.train.seg_trainer import build_model
         self.cfg = cfg
         self.model = build_model(cfg)
         self.state = state
         self.colors = colors or DEFAULT_COLORS
+        # small inference programs want the einsum conv lowering (61x at
+        # batch 1 on the target chip — ops/conv.py module docstring)
+        self.conv_backend = conv_backend
         self._jit_forward = jax.jit(self._forward)
 
     def _forward(self, images):
-        logits = self.model.apply(
-            {"params": self.state.params, "batch_stats": self.state.batch_stats},
-            images, train=False)
+        from cervical_tpu.ops.conv import backend_scope
+        with backend_scope(self.conv_backend):
+            logits = self.model.apply(
+                {"params": self.state.params,
+                 "batch_stats": self.state.batch_stats},
+                images, train=False)
         return jax.nn.softmax(logits, axis=-1)
 
     # -- core ---------------------------------------------------------------
@@ -101,25 +108,35 @@ class SegPredictor:
 
     # -- benchmarking ---------------------------------------------------------
     def get_fps(self, image: np.ndarray, test_interval: int = 100) -> float:
-        """Seconds per image over ``test_interval`` runs (deeplab.py:211-264)."""
+        """Seconds per image over ``test_interval`` runs (deeplab.py:211-264).
+
+        Unlike the reference's loop over one constant image, each iteration
+        perturbs a corner pixel: some execution stacks (docs/PLATFORM.md)
+        cache results of identical (fn, args) calls, which would make a
+        constant-input loop measure nothing.
+        """
         self.predict_probs(image)  # warmup/compile
+        image = np.array(image)
         t0 = time.time()
-        for _ in range(test_interval):
+        for i in range(test_interval):
+            image[0, 0, 0] = i % 251
             self.predict_probs(image)
         return (time.time() - t0) / test_interval
 
     def get_throughput(self, batch_size: int = 8, iters: int = 20) -> float:
         """Batched images/sec — the TPU-meaningful figure the per-image FPS
-        loop (deeplab.py:211-264) underestimates."""
+        loop (deeplab.py:211-264) underestimates.  Inputs vary per call and
+        completion is forced by a dependent fetch (docs/PLATFORM.md)."""
         h, w = self.cfg.data.input_shape
-        x = jnp.zeros((batch_size, h, w, 3),
-                      jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32)
-        jax.block_until_ready(self._jit_forward(x))
+        dt = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+        xs = [jax.random.normal(k, (batch_size, h, w, 3), dt)
+              for k in jax.random.split(jax.random.PRNGKey(0), 8)]
+        np.asarray(self._jit_forward(xs[0])[0, 0, 0])
         t0 = time.time()
         out = None
-        for _ in range(iters):
-            out = self._jit_forward(x)
-        np.asarray(out[0, 0, 0])  # force
+        for i in range(iters):
+            out = self._jit_forward(xs[i % 8])
+        np.asarray(out.sum())  # force completion of the pipelined calls
         return batch_size * iters / (time.time() - t0)
 
     # -- export ---------------------------------------------------------------

@@ -16,10 +16,15 @@ scripts/bench_seg_step.py):
   einsum program compiles ~10x slower through the remote AOT helper
   (xception step: 73 s vs 689 s).
 
-Hence the default backend is "lax"; `set_default_backend("einsum")` (or
-``backend="einsum"`` per call site) switches to the im2col path — worth
-re-probing for small standalone programs (e.g. batch-1 predictors) or on
-other toolchains.  Depthwise convs have their own shift-based path
+* **batch-1 inference** (the get_FPS shape, deeplab.py:211-264) hits the
+  standalone slow path under "lax": einsum is **61x** faster (462 -> 7.6
+  ms/image, 512 xception; scripts/bench_predict.py) and compiles ~10x
+  faster (551 -> 59 s).
+
+Hence the default backend is "lax" (training programs), and the predictor
+traces its forward under ``backend_scope("einsum")``.
+``set_default_backend``/``backend_scope``/``backend=`` per call site
+switch explicitly.  Depthwise convs have their own shift-based path
 (ops/depthwise.py).
 
 :class:`Conv` is a drop-in for ``flax.linen.Conv`` for the cases this
@@ -29,6 +34,7 @@ same dtype promotion — checkpoints and the torch importer are unaffected.
 The backend choice is made at trace time.
 """
 
+import contextlib
 from typing import Optional, Sequence, Tuple, Union
 
 import jax.numpy as jnp
@@ -48,6 +54,27 @@ def set_default_backend(name: str) -> None:
 
 def get_default_backend() -> str:
     return _DEFAULT_BACKEND
+
+
+@contextlib.contextmanager
+def backend_scope(name: str):
+    """Temporarily select the conv backend for code traced inside the scope.
+
+    The backend is read at trace time, so wrap the *first traced call* (or
+    the function body), not the ``jax.jit`` wrapper.  Used by the predictor:
+    batch-1 inference programs hit the standalone-program slow path under
+    "lax" (measured 61x: 462 -> 7.6 ms/image for 512 xception batch-1,
+    scripts/bench_predict.py) while big train steps prefer "lax".
+    """
+    global _DEFAULT_BACKEND
+    if name not in ("einsum", "lax"):
+        raise ValueError(f"unknown conv backend {name!r}")
+    prev = _DEFAULT_BACKEND
+    _DEFAULT_BACKEND = name
+    try:
+        yield
+    finally:
+        _DEFAULT_BACKEND = prev
 
 
 def _resolve_pad(padding, kernel, dilation, stride, size) -> Tuple[int, int]:

@@ -103,3 +103,19 @@ def test_bf16_compute_fp32_params():
     params = mine.init(jax.random.PRNGKey(7), x)
     assert params["params"]["kernel"].dtype == jnp.float32
     assert mine.apply(params, x).dtype == jnp.bfloat16
+
+
+def test_backend_scope_restores():
+    assert C.get_default_backend() == "lax"
+    with C.backend_scope("einsum"):
+        assert C.get_default_backend() == "einsum"
+    assert C.get_default_backend() == "lax"
+    try:
+        with C.backend_scope("einsum"):
+            raise RuntimeError
+    except RuntimeError:
+        pass
+    assert C.get_default_backend() == "lax"
+    with pytest.raises(ValueError):
+        with C.backend_scope("tensorrt"):
+            pass
