@@ -41,20 +41,25 @@ class SegPredictor:
     """
 
     def __init__(self, cfg: SegTrainConfig, state, colors=None,
-                 conv_backend: str = "einsum"):
+                 conv_backend: str = "auto"):
         from cervical_tpu.train.seg_trainer import build_model
         self.cfg = cfg
         self.model = build_model(cfg)
         self.state = state
         self.colors = colors or DEFAULT_COLORS
-        # small inference programs want the einsum conv lowering (61x at
-        # batch 1 on the target chip — ops/conv.py module docstring)
+        # "auto": batch-1 programs take the einsum conv lowering (61x on the
+        # target chip: 462 -> 7.6 ms/image), batched ones the XLA conv path
+        # (2x faster at batch 8) — measured in scripts/bench_predict.py,
+        # rationale in the ops/conv.py module docstring.
         self.conv_backend = conv_backend
         self._jit_forward = jax.jit(self._forward)
 
     def _forward(self, images):
         from cervical_tpu.ops.conv import backend_scope
-        with backend_scope(self.conv_backend):
+        backend = self.conv_backend
+        if backend == "auto":  # resolved per traced batch shape
+            backend = "einsum" if images.shape[0] == 1 else "lax"
+        with backend_scope(backend):
             logits = self.model.apply(
                 {"params": self.state.params,
                  "batch_stats": self.state.batch_stats},

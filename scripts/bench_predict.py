@@ -56,15 +56,18 @@ def bench(backend, backbone="xception", batch=1, size=512, iters=20,
 
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    backbone = "xception"
+    backbone, batch = "xception", 1
     for a in sys.argv[1:]:
         if a.startswith("--backbone"):
             backbone = a.split("=", 1)[1]
+        if a.startswith("--batch"):
+            batch = int(a.split("=", 1)[1])
     for backend in (args or ["lax", "einsum"]):
-        dt, compile_s = bench(backend, backbone)
+        dt, compile_s = bench(backend, backbone, batch=batch)
         print(json.dumps({"backend": backend, "backbone": backbone,
-                          "ms_per_image": round(dt * 1e3, 2),
-                          "fps": round(1 / dt, 1),
+                          "batch": batch,
+                          "ms_per_image": round(dt * 1e3 / batch, 2),
+                          "fps": round(batch / dt, 1),
                           "compile_s": round(compile_s, 1)}), flush=True)
 
 
