@@ -36,8 +36,10 @@ class SegDataConfig:
     scale_min: float = 0.25
     scale_max: float = 2.0
     # 2-shear rotation approximation (~0.5 px shape error at 10 deg, under
-    # the +-30% aspect jitter) — ~1.3x faster warp on the target chip
-    two_shear: bool = False
+    # the +-30% aspect jitter of the same pipeline) — ~1.3x faster warp on
+    # the target chip and the config bench.py measures.  False restores the
+    # exact Paeth 3-shear map (docs/PARITY.md).
+    two_shear: bool = True
 
 
 @dataclass

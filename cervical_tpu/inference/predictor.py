@@ -41,25 +41,23 @@ class SegPredictor:
     """
 
     def __init__(self, cfg: SegTrainConfig, state, colors=None,
-                 conv_backend: str = "auto"):
+                 conv_backend: str = "lax"):
         from cervical_tpu.train.seg_trainer import build_model
         self.cfg = cfg
         self.model = build_model(cfg)
         self.state = state
         self.colors = colors or DEFAULT_COLORS
-        # "auto": batch-1 programs take the einsum conv lowering (61x on the
-        # target chip: 462 -> 7.6 ms/image), batched ones the XLA conv path
-        # (2x faster at batch 8) — measured in scripts/bench_predict.py,
-        # rationale in the ops/conv.py module docstring.
+        # XLA convs win in full-model programs at every batch size measured
+        # (batch-1 5.1 vs 7.6 ms/image, batch-8 2.2 vs 4.0 — ABAB runs in
+        # scripts/bench_predict.py; ops/conv.py module docstring).  The
+        # einsum lowering is kept switchable for platforms/programs where
+        # the standalone-conv pathology applies.
         self.conv_backend = conv_backend
         self._jit_forward = jax.jit(self._forward)
 
     def _forward(self, images):
         from cervical_tpu.ops.conv import backend_scope
-        backend = self.conv_backend
-        if backend == "auto":  # resolved per traced batch shape
-            backend = "einsum" if images.shape[0] == 1 else "lax"
-        with backend_scope(backend):
+        with backend_scope(self.conv_backend):
             logits = self.model.apply(
                 {"params": self.state.params,
                  "batch_stats": self.state.batch_stats},
@@ -124,7 +122,9 @@ class SegPredictor:
         image = np.array(image)
         t0 = time.time()
         for i in range(test_interval):
+            # two-pixel counter: unique for any realistic test_interval
             image[0, 0, 0] = i % 251
+            image[0, 1, 0] = (i // 251) % 251
             self.predict_probs(image)
         return (time.time() - t0) / test_interval
 
@@ -135,12 +135,12 @@ class SegPredictor:
         h, w = self.cfg.data.input_shape
         dt = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
         xs = [jax.random.normal(k, (batch_size, h, w, 3), dt)
-              for k in jax.random.split(jax.random.PRNGKey(0), 8)]
-        np.asarray(self._jit_forward(xs[0])[0, 0, 0])
+              for k in jax.random.split(jax.random.PRNGKey(0), iters + 1)]
+        np.asarray(self._jit_forward(xs[-1])[0, 0, 0])  # warmup/compile
         t0 = time.time()
         out = None
         for i in range(iters):
-            out = self._jit_forward(xs[i % 8])
+            out = self._jit_forward(xs[i])
         np.asarray(out.sum())  # force completion of the pipelined calls
         return batch_size * iters / (time.time() - t0)
 

@@ -16,15 +16,17 @@ scripts/bench_seg_step.py):
   einsum program compiles ~10x slower through the remote AOT helper
   (xception step: 73 s vs 689 s).
 
-* **batch-1 inference** (the get_FPS shape, deeplab.py:211-264) hits the
-  standalone slow path under "lax": einsum is **61x** faster (462 -> 7.6
-  ms/image, 512 xception; scripts/bench_predict.py) and compiles ~10x
-  faster (551 -> 59 s).
+* **batch-1 inference** (the get_FPS shape, deeplab.py:211-264): lax 5.1
+  vs einsum 7.6 ms/image at steady state (ABAB-ordered runs,
+  scripts/bench_predict.py).  Beware: the first benchmarked program in a
+  process pays ~+18 ms/call on this tunnel regardless of backend — a
+  single A/B run misattributes that warm-up to whichever variant runs
+  first (this initially looked like a 61x einsum win; it was not).
 
-Hence the default backend is "lax" (training programs), and the predictor
-traces its forward under ``backend_scope("einsum")``.
-``set_default_backend``/``backend_scope``/``backend=`` per call site
-switch explicitly.  Depthwise convs have their own shift-based path
+Hence the default backend is "lax" everywhere; the einsum lowering stays
+switchable (``set_default_backend``/``backend_scope``/``backend=`` per
+call site) for toolchains or program shapes where the standalone-conv
+pathology applies.  Depthwise convs have their own shift-based path
 (ops/depthwise.py).
 
 :class:`Conv` is a drop-in for ``flax.linen.Conv`` for the cases this
@@ -61,10 +63,9 @@ def backend_scope(name: str):
     """Temporarily select the conv backend for code traced inside the scope.
 
     The backend is read at trace time, so wrap the *first traced call* (or
-    the function body), not the ``jax.jit`` wrapper.  Used by the predictor:
-    batch-1 inference programs hit the standalone-program slow path under
-    "lax" (measured 61x: 462 -> 7.6 ms/image for 512 xception batch-1,
-    scripts/bench_predict.py) while big train steps prefer "lax".
+    the function body), not the ``jax.jit`` wrapper.  The predictor traces
+    under this scope so its ``conv_backend`` argument stays decoupled from
+    the process-global default.
     """
     global _DEFAULT_BACKEND
     if name not in ("einsum", "lax"):
@@ -147,20 +148,29 @@ class Conv(nn.Module):
         x, kernel, bias = nn.dtypes.promote_dtype(
             x, kernel, bias, dtype=self.dtype)
 
+        # canonicalize padding like nn.Conv: "SAME" | int (both dims) |
+        # per-dim sequence of ints or (lo, hi) pairs
+        pad = self.padding
+        if not isinstance(pad, str):
+            if isinstance(pad, int):
+                pad = (pad, pad)
+            pad = tuple((p, p) if isinstance(p, int) else (int(p[0]),
+                                                           int(p[1]))
+                        for p in pad)
+            if len(pad) != 2:
+                raise ValueError(f"need 2 spatial pad entries, got {pad}")
+
         backend = self.backend or _DEFAULT_BACKEND
         if backend == "lax" or self.feature_group_count > 1:
-            pad = self.padding
-            if pad != "SAME":
-                p = (pad, pad) if isinstance(pad, int) else tuple(pad)
-                pad = [p if isinstance(p, tuple) else (p, p)] * 2
             y = lax.conv_general_dilated(
                 x, kernel, (sh, sw), pad, rhs_dilation=(dh, dw),
                 feature_group_count=self.feature_group_count,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
         else:
-            pads = (_resolve_pad(self.padding, kh, dh, sh, x.shape[1]),
-                    _resolve_pad(self.padding, kw, dw, sw, x.shape[2]))
-            y = conv2d_im2col(x, kernel, (sh, sw), pads, (dh, dw))
+            if isinstance(pad, str):
+                pad = (_resolve_pad(pad, kh, dh, sh, x.shape[1]),
+                       _resolve_pad(pad, kw, dw, sw, x.shape[2]))
+            y = conv2d_im2col(x, kernel, (sh, sw), pad, (dh, dw))
         if bias is not None:
             y = y + bias
         return y

@@ -13,7 +13,6 @@ Platform rules (CLAUDE.md): vary an input per timed call, force with a
 dependent scalar fetch, report per-call time over pipelined dispatches.
 """
 
-import functools
 import json
 import sys
 import time
@@ -23,24 +22,18 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+from _bench_util import input_stream, timed as _timed  # noqa: E402
+
 
 def timed(fn, args_fn, iters=10, warmup=4):
-    out = fn(*args_fn(0))
-    _ = float(jax.tree_util.tree_leaves(out)[0][(0,) * out.ndim])
-    for i in range(warmup):
-        out = fn(*args_fn(i + 1))
-    _ = float(out[(0,) * out.ndim])
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = fn(*args_fn(100 + i))
-    _ = float(out.sum())
-    return (time.perf_counter() - t0) / iters
+    dt, _ = _timed(fn, args_fn, iters=iters, warmup=warmup)
+    return dt
 
 
-def _inputs(shape, n=8, seed=0):
-    ks = jax.random.split(jax.random.PRNGKey(seed), n)
-    xs = [jax.random.normal(k, shape, jnp.bfloat16) for k in ks]
-    return lambda i: (xs[i % n],)
+def _inputs(shape, seed=0, n=15):  # 1 compile + 4 warmup + 10 timed
+    xs = input_stream(shape, jnp.bfloat16, n, seed)
+    return lambda i: (xs(i),)
 
 
 # pointwise: mobilenet expand at os8 with batch 64

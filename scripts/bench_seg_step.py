@@ -63,10 +63,11 @@ def main():
     for arg in (sys.argv[1:] or ["einsum", "lax"]):
         backend, _, backbone = arg.partition(":")
         backbone = backbone or "mobilenet"
-        dt, compile_s = bench(backend, backbone)
+        batch = 8
+        dt, compile_s = bench(backend, backbone, batch=batch)
         print(json.dumps({"backend": backend, "backbone": backbone,
                           "step_ms": round(dt * 1e3, 1),
-                          "images_per_sec": round(8 / dt, 1),
+                          "images_per_sec": round(batch / dt, 1),
                           "compile_s": round(compile_s, 1)}), flush=True)
 
 

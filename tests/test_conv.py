@@ -119,3 +119,18 @@ def test_backend_scope_restores():
     with pytest.raises(ValueError):
         with C.backend_scope("tensorrt"):
             pass
+
+
+@pytest.mark.parametrize("pad", [(1, 2), ((0, 1), (2, 0))])
+def test_sequence_padding_matches_nn_conv(pad):
+    """Per-dim int and (lo, hi)-pair padding forms (nn.Conv semantics)."""
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 11, 13, 3))
+    ref = nn.Conv(4, (3, 3), padding=pad)
+    params = ref.init(jax.random.PRNGKey(10), x)
+    for backend in ("lax", "einsum"):
+        mine = C.Conv(4, (3, 3), padding=pad, backend=backend)
+        out = mine.apply(params, x)
+        ref_out = ref.apply(params, x)
+        assert out.shape == ref_out.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   atol=1e-5, rtol=1e-5)
