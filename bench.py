@@ -24,12 +24,14 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_augmentation(batch=1024, size=512, iters=5, windows=4, warmup=6):
+def bench_augmentation(batch=1024, size=512, iters=12, windows=3, warmup=6):
     # the first executions after (re)connecting the tunnel run 20-30% slow
     # (device/allocator warm-up — measured by permuting variant order in
     # scripts/bench_warp_variants.py) and throughput drifts between runs
     # (docs/PLATFORM.md measurement caveat), so measure several windows of
-    # pipelined dispatches and report the best
+    # pipelined dispatches and report the best.  Windows are long (12
+    # dispatches) so the one blocking round-trip per window amortizes like
+    # the continuously-pipelined training loop it stands in for.
     from cervical_tpu.ops import augment as A
     from cervical_tpu.ops import warp_xla as WX
 
