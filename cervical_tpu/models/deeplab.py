@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -86,7 +87,7 @@ class DeepLab(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, freeze_backbone: bool = False):
         h, w = x.shape[1], x.shape[2]
         if self.backbone == "xception":
             low, deep = XceptionBackbone(self.downsample_factor,
@@ -97,6 +98,15 @@ class DeepLab(nn.Module):
         else:
             raise ValueError(
                 f"Unsupported backbone - `{self.backbone}`, use mobilenet, xception.")
+        if freeze_backbone:
+            # the reference's freeze phase sets requires_grad=False on the
+            # backbone (train.py:447-452), which prunes its backward pass
+            # entirely; stop_gradient is the XLA equivalent (the grad mask in
+            # seg_trainer only zeroes already-computed grads).  Backbone BN
+            # running stats still update, replicating train.py:448-449 where
+            # only requires_grad is toggled.
+            low = jax.lax.stop_gradient(low)
+            deep = jax.lax.stop_gradient(deep)
 
         deep = ASPP(256, rate=16 // self.downsample_factor, dtype=self.dtype,
                     name="aspp")(deep, train)

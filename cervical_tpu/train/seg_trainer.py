@@ -132,10 +132,13 @@ def make_train_step(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
         one_hot = one_hot_with_ignore(labels, nc)
 
         def loss_fn(params):
+            # freeze_backbone prunes the backbone backward pass entirely
+            # (stop_gradient in the model); the grad mask below stays as a
+            # structural guard for the optimizer update
             logits, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                images, train=True, mutable=["batch_stats"],
-                rngs={"dropout": rng})
+                images, train=True, freeze_backbone=frozen,
+                mutable=["batch_stats"], rngs={"dropout": rng})
             total, main = seg_loss_fn(cfg, logits, labels, one_hot)
             fs = losses.f_score(logits, one_hot)
             return total, (updates["batch_stats"], main, fs)

@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 
-def bench(backend: str, backbone="mobilenet", batch=8, size=512, iters=8, warmup=4):
+def bench(backend: str, backbone="mobilenet", batch=8, size=512, iters=8, warmup=4,
+          frozen=False, seed=0):
     from cervical_tpu.ops import conv as C
     from cervical_tpu.config import SegTrainConfig, SegDataConfig
     from cervical_tpu.train import seg_trainer as T
@@ -29,7 +30,7 @@ def bench(backend: str, backbone="mobilenet", batch=8, size=512, iters=8, warmup
                          backbone=backbone, unfreeze_batch_size=batch)
     state = T.create_state(cfg, jax.random.PRNGKey(0))
     step = T.make_train_step(cfg, T.build_model(cfg), T.make_optimizer(cfg),
-                             frozen=False)
+                             frozen=frozen)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 256, (batch, size, size, 3)),
@@ -38,7 +39,7 @@ def bench(backend: str, backbone="mobilenet", batch=8, size=512, iters=8, warmup
     cap = max(1, batch // 4)
 
     def run(i):
-        key = jax.random.PRNGKey(i)
+        key = jax.random.PRNGKey(seed * 1000 + i)
         params = A.sample_augment_params(key, batch, rotate_prefix=cap,
                                          blur_suffix=cap)
         return step(state, images, labels, params, jnp.float32(1e-4), key)
@@ -59,14 +60,19 @@ def bench(backend: str, backbone="mobilenet", batch=8, size=512, iters=8, warmup
 
 
 def main():
-    # args: backend[:backbone], e.g. "einsum:xception" (default mobilenet)
-    for arg in (sys.argv[1:] or ["einsum", "lax"]):
-        backend, _, backbone = arg.partition(":")
-        backbone = backbone or "mobilenet"
+    # args: backend[:backbone[:frozen]], e.g. "lax:xception:frozen"
+    for run_i, arg in enumerate(sys.argv[1:] or ["einsum", "lax"]):
+        parts = arg.split(":")
+        backend = parts[0]
+        backbone = parts[1] if len(parts) > 1 else "mobilenet"
+        frozen = len(parts) > 2 and parts[2] == "frozen"
         batch = 8
-        dt, compile_s = bench(backend, backbone, batch=batch)
+        # distinct seed per run so repeated variants never replay inputs
+        # (tunnel result-cache rule, scripts/_bench_util.py)
+        dt, compile_s = bench(backend, backbone, batch=batch, frozen=frozen,
+                              seed=run_i + 1)
         print(json.dumps({"backend": backend, "backbone": backbone,
-                          "step_ms": round(dt * 1e3, 1),
+                          "frozen": frozen, "step_ms": round(dt * 1e3, 1),
                           "images_per_sec": round(batch / dt, 1),
                           "compile_s": round(compile_s, 1)}), flush=True)
 

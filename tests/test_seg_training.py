@@ -132,3 +132,29 @@ def test_checkpoint_roundtrip(voc_root, tmp_path):
     mgr.on_epoch_end(1, trainer.state, 1.0, 3.0)
     _, extra2 = mgr.restore("best_epoch_weights", trainer.state)
     assert extra2["val_loss"] == 2.0
+
+
+def test_frozen_step_forward_matches_unfrozen(voc_root, tmp_path):
+    """freeze_backbone only prunes the backward pass (stop_gradient at the
+    backbone boundary) — the loss from the same state/batch/rng must be
+    identical to the unfrozen step's."""
+    cfg = _cfg(tmp_path)
+    trainer = SegTrainer(cfg)
+    ids = read_split(voc_root, "train")
+    ds = VOCSegDataset(voc_root, ids, stage_hw=(48, 48))
+    images, labels = next(iter(BatchLoader(ds, 8, num_workers=1)))
+
+    from cervical_tpu.ops import augment as A
+    from cervical_tpu.parallel import shard_batch
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    p = A.sample_augment_params(k1, images.shape[0])
+    b = shard_batch(trainer.mesh, (images, labels))
+    state0 = trainer.state
+    _, m_frozen = trainer._train_step(frozen=True)(
+        state0, b[0], b[1], p, jnp.asarray(1e-3), k2)
+    _, m_unfrozen = trainer._train_step(frozen=False)(
+        state0, b[0], b[1], p, jnp.asarray(1e-3), k2)
+    np.testing.assert_allclose(float(m_frozen["loss"]),
+                               float(m_unfrozen["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_frozen["f_score"]),
+                               float(m_unfrozen["f_score"]), rtol=1e-5)
