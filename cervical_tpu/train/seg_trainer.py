@@ -13,10 +13,14 @@ TPU-native rebuild of the reference's training stack
   train.py:288-294,386-390).  BatchNorm statistics are computed on the
   *global* sharded batch under jit, so SyncBN (train.py:375-378) holds by
   construction.
-* the freeze/unfreeze two-phase schedule (train.py:176-187,531-570) is a
-  gradient mask over backbone params; BN running stats still update during
-  the freeze phase, matching the reference's requires_grad-only freeze
-  (train.py:448-449 — see docs/PARITY.md).
+* the freeze/unfreeze two-phase schedule (train.py:176-187,531-570):
+  ``stop_gradient`` at the backbone boundary prunes the backbone backward
+  pass from the compiled step (the compute equivalent of
+  requires_grad=False), and an update mask keeps frozen params
+  bit-identical under any optimizer (weight decay/momentum included); BN
+  running stats still update during the freeze phase, matching the
+  reference's requires_grad-only freeze (train.py:448-449 — see
+  docs/PARITY.md).
 """
 
 from __future__ import annotations
@@ -133,8 +137,8 @@ def make_train_step(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
 
         def loss_fn(params):
             # freeze_backbone prunes the backbone backward pass entirely
-            # (stop_gradient in the model); the grad mask below stays as a
-            # structural guard for the optimizer update
+            # (stop_gradient in the model, the compute saver); the update
+            # mask below keeps frozen params bit-identical
             logits, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 images, train=True, freeze_backbone=frozen,
@@ -150,6 +154,11 @@ def make_train_step(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
         opt_state = state.opt_state
         opt_state.hyperparams["learning_rate"] = lr
         updates, new_opt = tx.update(grads, opt_state, state.params)
+        # mask the UPDATES too: weight decay / momentum would otherwise
+        # still move frozen params (the reference's requires_grad=False
+        # freeze leaves them bit-identical — torch optimizers skip
+        # grad=None params, train.py:447-452)
+        updates = jax.tree_util.tree_map(lambda u, m: u * m, updates, mask)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=params,
                                   batch_stats=new_bs, opt_state=new_opt)

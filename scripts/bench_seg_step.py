@@ -64,8 +64,12 @@ def main():
     for run_i, arg in enumerate(sys.argv[1:] or ["einsum", "lax"]):
         parts = arg.split(":")
         backend = parts[0]
-        backbone = parts[1] if len(parts) > 1 else "mobilenet"
+        backbone = (parts[1] if len(parts) > 1 else "") or "mobilenet"
         frozen = len(parts) > 2 and parts[2] == "frozen"
+        if len(parts) > 2 and parts[2] not in ("frozen", ""):
+            sys.exit(f"unknown step variant {parts[2]!r} (use 'frozen')")
+        if len(parts) > 3:
+            sys.exit(f"too many ':' segments in {arg!r}")
         batch = 8
         # distinct seed per run so repeated variants never replay inputs
         # (tunnel result-cache rule, scripts/_bench_util.py)

@@ -3,6 +3,8 @@
 mesh, checkpoints round-trip."""
 
 import numpy as np
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import pytest
@@ -158,3 +160,28 @@ def test_frozen_step_forward_matches_unfrozen(voc_root, tmp_path):
                                float(m_unfrozen["loss"]), rtol=1e-5)
     np.testing.assert_allclose(float(m_frozen["f_score"]),
                                float(m_unfrozen["f_score"]), rtol=1e-5)
+
+
+def test_frozen_backbone_bitfrozen_under_weight_decay(voc_root, tmp_path):
+    """Weight decay / momentum must not move frozen params either — the
+    reference's requires_grad=False freeze leaves them bit-identical
+    (torch optimizers skip grad=None params, train.py:447-452)."""
+    cfg = _cfg(tmp_path)
+    cfg = dataclasses.replace(cfg, optimizer_type="sgd", weight_decay=1e-2)
+    trainer = SegTrainer(cfg)
+    ids = read_split(voc_root, "train")
+    ds = VOCSegDataset(voc_root, ids, stage_hw=(48, 48))
+    images, labels = next(iter(BatchLoader(ds, 8, num_workers=1)))
+
+    from cervical_tpu.ops import augment as A
+    from cervical_tpu.parallel import shard_batch
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    p = A.sample_augment_params(k1, images.shape[0])
+    b = shard_batch(trainer.mesh, (images, labels))
+    before = jax.device_get(trainer.state.params["backbone"])
+    trainer.state, _ = trainer._train_step(frozen=True)(
+        trainer.state, b[0], b[1], p, jnp.asarray(1e-2), k2)
+    after = jax.device_get(trainer.state.params["backbone"])
+    for a, c in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, c)
