@@ -69,6 +69,10 @@ class SegTrainConfig:
     save_dir: str = "logs"
     eval_period: int = 10
     seed: int = 11  # train.py:283
+    # from-scratch init: "normal" replicates the reference's weights_init
+    # (every conv N(0,.02), BN scale N(1,.02) — train.py:313-316); "none"
+    # keeps flax defaults.  Ignored when `pretrained` is set.
+    weights_init: str = "normal"
     # TPU-native knobs (replace fp16/AMP and DDP/NCCL)
     dtype: str = "bfloat16"
     num_devices: Optional[int] = None  # None = all visible

@@ -88,6 +88,11 @@ class DeepLab(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, freeze_backbone: bool = False):
+        if self.downsample_factor not in (8, 16):
+            # ds=32 would give ASPP rate 16//32 = 0 -> dilation-0 convs that
+            # fail deep inside XLA; the reference supports os 8/16 only
+            raise ValueError(
+                f"downsample_factor must be 8 or 16, got {self.downsample_factor}")
         h, w = x.shape[1], x.shape[2]
         if self.backbone == "xception":
             low, deep = XceptionBackbone(self.downsample_factor,

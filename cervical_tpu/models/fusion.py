@@ -121,6 +121,11 @@ class FusionMAE(nn.Module):
         mods = self.modalities
         T = len(mods)
         b = node_feats[mods[0]].shape[0]
+        for m in mods:
+            if node_feats[m].shape[-1] != self.in_features:
+                raise ValueError(
+                    f"{m} features have width {node_feats[m].shape[-1]}, "
+                    f"expected in_features={self.in_features}")
         adj = default_adjacency(mods, self.image_grid, self.cli_nodes)
 
         if present is None:

@@ -54,6 +54,12 @@ def drop_path(x, rate: float, deterministic: bool, rng=None):
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
+# the reference MAE stack xavier-inits every Linear inside the ViT
+# encoder/decoder (_init_weights, my_mae_model.py:112-118,182-188); torch
+# LayerNorm eps is 1e-5 (flax default is 1e-6)
+_XAVIER = nn.initializers.xavier_uniform()
+
+
 class GraphNorm(nn.Module):
     """torch_geometric ``LayerNorm(in_channels, mode='graph')``.
 
@@ -115,9 +121,11 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+        x = nn.Dense(self.hidden_features, dtype=self.dtype,
+                     kernel_init=_XAVIER, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.out_features, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dense(self.out_features, dtype=self.dtype,
+                     kernel_init=_XAVIER, name="fc2")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         return x
 
@@ -145,7 +153,8 @@ class ViTSelfAttention(nn.Module):
         all_head_dim = head_dim * self.num_heads
         scale = head_dim ** -0.5
 
-        qkv = nn.Dense(all_head_dim * 3, use_bias=False, dtype=self.dtype, name="qkv")(x)
+        qkv = nn.Dense(all_head_dim * 3, use_bias=False, dtype=self.dtype,
+                       kernel_init=_XAVIER, name="qkv")(x)
         if self.qkv_bias:
             q_bias = self.param("q_bias", nn.initializers.zeros, (all_head_dim,))
             v_bias = self.param("v_bias", nn.initializers.zeros, (all_head_dim,))
@@ -165,7 +174,8 @@ class ViTSelfAttention(nn.Module):
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
 
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, all_head_dim)
-        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        out = nn.Dense(self.dim, dtype=self.dtype, kernel_init=_XAVIER,
+                       name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
 
@@ -189,9 +199,7 @@ class ViTBlock(nn.Module):
         attn = ViTSelfAttention(
             self.dim, self.num_heads, self.qkv_bias, self.attn_drop, self.drop,
             dtype=self.dtype, name="attn",
-        )(nn.LayerNorm(name="norm1")(x), key_mask=key_mask, deterministic=deterministic)
-        mlp_in = None  # computed after first residual
-
+        )(nn.LayerNorm(epsilon=1e-5, name="norm1")(x), key_mask=key_mask, deterministic=deterministic)
         if self.init_values > 0:
             gamma_1 = self.param("gamma_1",
                                  nn.initializers.constant(self.init_values), (self.dim,))
@@ -202,7 +210,7 @@ class ViTBlock(nn.Module):
                              self.make_rng("dropout"))
         x = x + attn
 
-        mlp_in = nn.LayerNorm(name="norm2")(x)
+        mlp_in = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,
                 dtype=self.dtype, name="mlp")(mlp_in, deterministic=deterministic)
         if self.init_values > 0:

@@ -30,7 +30,7 @@ from typing import Optional
 import jax.numpy as jnp
 import flax.linen as nn
 
-from cervical_tpu.models.layers import ViTBlock, sinusoid_encoding_table
+from cervical_tpu.models.layers import _XAVIER, ViTBlock, sinusoid_encoding_table
 
 
 class MAEEncoder(nn.Module):
@@ -55,7 +55,8 @@ class MAEEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, tokens, visible, deterministic: bool = True):
-        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="patch_embed")(tokens)
+        x = nn.Dense(self.embed_dim, dtype=self.dtype,
+                     kernel_init=_XAVIER, name="patch_embed")(tokens)
         pe = sinusoid_encoding_table(self.num_tokens, self.embed_dim)
         x = x + jnp.asarray(pe, x.dtype)
         # stochastic-depth decay rule: linspace(0, rate, depth) — for depth=1
@@ -67,7 +68,7 @@ class MAEEncoder(nn.Module):
                 self.drop_rate, self.attn_drop_rate, dpr, self.init_values,
                 dtype=self.dtype, name=f"block{i}",
             )(x, key_mask=visible, deterministic=deterministic)
-        return nn.LayerNorm(name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x)
 
 
 class MAEDecoder(nn.Module):
@@ -98,8 +99,9 @@ class MAEDecoder(nn.Module):
                 self.drop_rate, self.attn_drop_rate, dpr, self.init_values,
                 dtype=self.dtype, name=f"block{i}",
             )(x, deterministic=deterministic)
-        x = nn.LayerNorm(name="norm")(x)
-        return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        return nn.Dense(self.num_classes, dtype=self.dtype,
+                        kernel_init=_XAVIER, name="head")(x)
 
 
 class TokenMAE(nn.Module):
@@ -137,10 +139,15 @@ class TokenMAE(nn.Module):
         )(tokens, visible, deterministic=deterministic)
 
         enc = nn.Dense(self.embed_dim, use_bias=False, dtype=self.dtype,
+                       kernel_init=_XAVIER,
                        name="encoder_to_decoder")(enc)
 
+        # trunc_normal_(std=.02, a=-std, b=std): the reference's wrapper
+        # truncates at +-1 sigma, not timm/flax's +-2 (my_mae_model.py:66-67,289)
         mask_token = self.param(
-            "mask_token", nn.initializers.truncated_normal(0.02), (self.embed_dim,))
+            "mask_token",
+            nn.initializers.truncated_normal(0.02, lower=-1.0, upper=1.0),
+            (self.embed_dim,))
         pe = jnp.asarray(
             sinusoid_encoding_table(self.num_tokens, self.embed_dim), enc.dtype)
         dec_in = jnp.where(mask[..., None], mask_token.astype(enc.dtype), enc) + pe

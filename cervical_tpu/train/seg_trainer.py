@@ -77,12 +77,38 @@ def make_optimizer(cfg: SegTrainConfig):
     return base
 
 
+def reference_weights_init(params, rng, init_gain: float = 0.02):
+    """``weights_init`` (deeplabv3_training.py:58-76), which the reference
+    applies to the WHOLE model when training from scratch
+    (train.py:313-316): every conv kernel ~ N(0, 0.02), every BatchNorm
+    scale ~ N(1, 0.02), BN biases 0.  Conv biases keep their existing init
+    (the reference's init_func only touches ``.weight`` — docs/PARITY.md).
+    """
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
+    keys = jax.random.split(rng, len(leaves))
+    out = []
+    for (path, leaf), key in zip(leaves, keys):
+        name = getattr(path[-1], "key", str(path[-1]))
+        if name == "kernel" and leaf.ndim == 4:
+            out.append(init_gain * jax.random.normal(key, leaf.shape,
+                                                     leaf.dtype))
+        elif name == "scale":
+            out.append(1.0 + init_gain * jax.random.normal(key, leaf.shape,
+                                                           leaf.dtype))
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def create_state(cfg: SegTrainConfig, rng) -> TrainState:
     model = build_model(cfg)
     h, w = cfg.data.input_shape
+    rng, init_rng = jax.random.split(rng)
     variables = model.init(rng, jnp.zeros((1, h, w, 3), _dtype(cfg)))
     tx = make_optimizer(cfg)
     params = variables["params"]
+    if not cfg.pretrained and cfg.weights_init == "normal":
+        params = reference_weights_init(params, init_rng)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

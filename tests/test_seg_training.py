@@ -185,3 +185,29 @@ def test_frozen_backbone_bitfrozen_under_weight_decay(voc_root, tmp_path):
     for a, c in zip(jax.tree_util.tree_leaves(before),
                     jax.tree_util.tree_leaves(after)):
         np.testing.assert_array_equal(a, c)
+
+
+def test_reference_weights_init_statistics(tmp_path):
+    """weights_init parity (deeplabv3_training.py:58-76 via train.py:313-316):
+    from-scratch conv kernels ~ N(0, .02), BN scales ~ N(1, .02)."""
+    from cervical_tpu.train.seg_trainer import create_state
+    cfg = _cfg(tmp_path)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    kernels = [np.asarray(l) for p, l in
+               jax.tree_util.tree_flatten_with_path(state.params)[0]
+               if getattr(p[-1], "key", "") == "kernel" and l.ndim == 4]
+    big = np.concatenate([k.reshape(-1) for k in kernels if k.size > 500])
+    assert abs(big.std() - 0.02) < 0.002 and abs(big.mean()) < 0.002
+    scales = [np.asarray(l) for p, l in
+              jax.tree_util.tree_flatten_with_path(state.params)[0]
+              if getattr(p[-1], "key", "") == "scale"]
+    s = np.concatenate([x.reshape(-1) for x in scales])
+    assert abs(s.mean() - 1.0) < 0.01 and abs(s.std() - 0.02) < 0.01
+
+    cfg2 = dataclasses.replace(cfg, weights_init="none")
+    state2 = create_state(cfg2, jax.random.PRNGKey(0))
+    k2 = [np.asarray(l) for p, l in
+          jax.tree_util.tree_flatten_with_path(state2.params)[0]
+          if getattr(p[-1], "key", "") == "kernel" and l.ndim == 4]
+    big2 = np.concatenate([k.reshape(-1) for k in k2 if k.size > 500])
+    assert big2.std() > 0.03  # lecun-normal spreads wider than 0.02
