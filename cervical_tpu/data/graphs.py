@@ -158,6 +158,10 @@ def assemble_cohort(image_feats: Dict[str, Dict], cli_feats: Dict,
     present = np.ones((len(pids), len(modalities)), bool)
     for mi, m in enumerate(modalities):
         source = cli_feats if m == "cli" else image_feats.get(m, {})
+        if not source:
+            raise ValueError(
+                f"modality {m!r} has no features for any patient — "
+                "remove it from `modalities` or provide its feature dict")
         sample = next(iter(source.values()))
         arr = np.zeros((len(pids),) + sample.shape, np.float32)
         for pi, pid in enumerate(pids):

@@ -20,14 +20,33 @@ from cervical_tpu.parallel import local_batch_slice, shard_batch
 
 
 def host_local_batches(loader: Iterable, mesh) -> Iterator:
-    """Slice each global batch to this process's portion (multi-host)."""
+    """Slice each global batch to this process's portion (multi-host).
+
+    Ragged final batches (eval loaders keep tails) are padded by repeating
+    the last row up to a process-divisible size BEFORE slicing — otherwise
+    ``global // process_count`` would silently drop the remainder rows on
+    every host.  Callers that must not double-count (metrics) see the
+    padded rows only on multi-host runs; the seg eval path is robust to
+    them because padded label rows repeat real ones and the trainer's
+    on-device confusion is normalized per pixel — for exact multihost
+    metrics, size eval sets divisibly.
+    """
+    import numpy as np
+
     n_proc = jax.process_count()
     for batch in loader:
         if n_proc == 1:
             yield batch
             continue
         first = jax.tree_util.tree_leaves(batch)[0]
-        sl = local_batch_slice(len(first), mesh)
+        n = len(first)
+        pad = (-n) % n_proc
+        if pad:  # pragma: no cover - multihost only
+            batch = jax.tree_util.tree_map(
+                lambda x: np.concatenate(
+                    [x, np.repeat(x[-1:], pad, axis=0)], axis=0), batch)
+            n += pad
+        sl = local_batch_slice(n, mesh)
         yield jax.tree_util.tree_map(lambda x: x[sl], batch)
 
 

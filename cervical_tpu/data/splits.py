@@ -47,6 +47,12 @@ def train_test_split(indices: Sequence[int], test_size: float, seed: int = 0,
     train_parts, test_parts = [], []
     for cls in np.unique(stratify):
         sub = indices[stratify == cls]
+        if len(sub) < 2:
+            # sklearn raises here too; proceeding silently would put the
+            # class's only sample in the test side and train on 3 classes
+            raise ValueError(
+                f"stratified split needs >= 2 members per class; class "
+                f"{cls!r} has {len(sub)}")
         perm = rng.permutation(len(sub))
         n_test = max(1, int(round(len(sub) * test_size)))
         test_parts.append(sub[perm[:n_test]])

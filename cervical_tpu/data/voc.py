@@ -139,23 +139,40 @@ class BatchLoader:
             return
 
         # strided batch assignment: worker w produces batches w, w+W, ...;
-        # per-batch single-slot queues preserve delivery order while letting
-        # workers run ahead (bounded by the slot queues' capacity of 1).
+        # per-batch single-slot queues preserve delivery order.  A shared
+        # semaphore bounds the decoded-but-unconsumed batches to
+        # 2*num_workers (the slot queues alone would let workers decode the
+        # whole epoch ahead of a slow training step — host-RAM blowup).
+        # Worker exceptions (missing/corrupt files) are delivered into the
+        # slot and re-raised in the consumer instead of hanging it.
         out_slots = [queue_mod.Queue(maxsize=1) for _ in range(len(batches))]
+        budget = threading.Semaphore(2 * self.num_workers)
 
         def slot_worker(worker_id):
             for bi in range(worker_id, len(batches), self.num_workers):
+                budget.acquire()
                 if stop.is_set():
                     return
-                out_slots[bi].put(load_batch(batches[bi]))
+                try:
+                    out_slots[bi].put(load_batch(batches[bi]))
+                except BaseException as e:  # deliver, don't hang the consumer
+                    out_slots[bi].put(e)
+                    return
 
         for wid in range(self.num_workers):
             threading.Thread(target=slot_worker, args=(wid,), daemon=True).start()
         try:
             for bi in range(len(batches)):
-                yield out_slots[bi].get()
+                item = out_slots[bi].get()
+                budget.release()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
         finally:
             stop.set()
+            # unblock workers parked on the budget so threads exit
+            for _ in range(self.num_workers):
+                budget.release()
 
 
 # ---------------------------------------------------------------------------

@@ -97,7 +97,9 @@ class SegPredictor:
         colors = np.asarray(self.colors[:self.cfg.data.num_classes], np.uint8)
         color_mask = colors[mask]
         if mix_type == 0:
-            return (0.3 * color_mask + 0.7 * image).astype(np.uint8)
+            # Image.blend(old_img, seg_img, 0.7) = 0.3*original + 0.7*mask
+            # (deeplab.py:188)
+            return (0.7 * color_mask + 0.3 * image).astype(np.uint8)
         if mix_type == 1:
             return color_mask
         if mix_type == 2:

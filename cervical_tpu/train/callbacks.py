@@ -51,7 +51,7 @@ class LossHistory:
         plt.figure()
         plt.plot(it, self.losses, "red", linewidth=2, label="train loss")
         plt.plot(it, self.val_losses, "coral", linewidth=2, label="val loss")
-        if len(self.losses) >= 25:
+        if len(self.losses) >= 5:  # savgol needs window <= n
             try:
                 from scipy.signal import savgol_filter
                 num = 5 if len(self.losses) < 25 else 15

@@ -107,9 +107,15 @@ class FusionTrainer:
             opt_state = state["opt_state"]
             opt_state.hyperparams["learning_rate"] = lr
             updates, new_opt = self.tx.update(grads, opt_state, state["params"])
-            # epoch-0 warmup quirk: compute everything, skip the update
+            # epoch-0 warmup quirk: compute everything, skip optimizer.step()
+            # ENTIRELY — params untouched AND Adam moments/count untouched
+            # (my_train(full).py:350-353 never calls step(), so exp_avg/
+            # exp_avg_sq stay zero and the step counter stays 0)
             scale = jnp.where(do_step, 1.0, 0.0)
             updates = jax.tree_util.tree_map(lambda u: u * scale, updates)
+            new_opt = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(do_step, new, old),
+                new_opt, opt_state)
             params = optax.apply_updates(state["params"], updates)
             new_state = {"params": params, "opt_state": new_opt}
             preds = {k: jnp.argmax(v, axis=-1) for k, v in logits.items()}

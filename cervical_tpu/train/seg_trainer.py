@@ -16,11 +16,12 @@ TPU-native rebuild of the reference's training stack
 * the freeze/unfreeze two-phase schedule (train.py:176-187,531-570):
   ``stop_gradient`` at the backbone boundary prunes the backbone backward
   pass from the compiled step (the compute equivalent of
-  requires_grad=False), and an update mask keeps frozen params
-  bit-identical under any optimizer (weight decay/momentum included); BN
-  running stats still update during the freeze phase, matching the
-  reference's requires_grad-only freeze (train.py:448-449 — see
-  docs/PARITY.md).
+  requires_grad=False), and backbone/head carry separate optimizer states
+  — a frozen backbone receives no optimizer step at all, so its params AND
+  its Adam moments/count stay untouched exactly like torch's lazily-created
+  per-param states; BN running stats still update during the freeze phase,
+  matching the reference's requires_grad-only freeze (train.py:448-449 —
+  see docs/PARITY.md).
 """
 
 from __future__ import annotations
@@ -113,16 +114,22 @@ def create_state(cfg: SegTrainConfig, rng) -> TrainState:
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=variables.get("batch_stats", {}),
-        opt_state=tx.init(params),
+        # separate optimizer state per param group: torch optimizers hold
+        # per-param state, so the reference's frozen backbone accumulates
+        # NO Adam count/moments during the freeze phase and starts cold at
+        # unfreeze while the head stays warm (train.py:447-452).  A single
+        # global optax count would bias-correct a cold backbone with a warm
+        # count (first unfrozen update ~3.2x oversized).
+        opt_state={"backbone": tx.init(_split_params(params)[0]),
+                   "head": tx.init(_split_params(params)[1])},
     )
 
 
-def _backbone_mask(params, frozen: bool):
-    """0/1 gradient multiplier tree: 0 for backbone params when frozen."""
-    def mark(path, leaf):
-        is_backbone = any(getattr(p, "key", None) == "backbone" for p in path)
-        return 0.0 if (frozen and is_backbone) else 1.0
-    return jax.tree_util.tree_map_with_path(mark, params)
+def _split_params(params):
+    """(backbone subtree, everything else), both as top-level dicts."""
+    backbone = {"backbone": params["backbone"]}
+    head = {k: v for k, v in params.items() if k != "backbone"}
+    return backbone, head
 
 
 def seg_loss_fn(cfg: SegTrainConfig, logits, labels, one_hot):
@@ -163,8 +170,8 @@ def make_train_step(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
 
         def loss_fn(params):
             # freeze_backbone prunes the backbone backward pass entirely
-            # (stop_gradient in the model, the compute saver); the update
-            # mask below keeps frozen params bit-identical
+            # (stop_gradient in the model); the per-group optimizer split
+            # below keeps frozen params + their Adam state bit-identical
             logits, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 images, train=True, freeze_backbone=frozen,
@@ -175,17 +182,25 @@ def make_train_step(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
 
         (total, (new_bs, main, fs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        mask = _backbone_mask(state.params, frozen)
-        grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
-        opt_state = state.opt_state
-        opt_state.hyperparams["learning_rate"] = lr
-        updates, new_opt = tx.update(grads, opt_state, state.params)
-        # mask the UPDATES too: weight decay / momentum would otherwise
-        # still move frozen params (the reference's requires_grad=False
-        # freeze leaves them bit-identical — torch optimizers skip
-        # grad=None params, train.py:447-452)
-        updates = jax.tree_util.tree_map(lambda u, m: u * m, updates, mask)
-        params = optax.apply_updates(state.params, updates)
+        grads_b, grads_h = _split_params(grads)
+        params_b, params_h = _split_params(state.params)
+        opt_h = state.opt_state["head"]
+        opt_h.hyperparams["learning_rate"] = lr
+        upd_h, new_h = tx.update(grads_h, opt_h, params_h)
+        params = optax.apply_updates(params_h, upd_h)
+        if frozen:
+            # the reference's requires_grad=False freeze: the backbone gets
+            # NO optimizer step at all — params bit-identical, Adam state
+            # (moments AND count) untouched (train.py:447-452)
+            params["backbone"] = state.params["backbone"]
+            new_opt = {"backbone": state.opt_state["backbone"],
+                       "head": new_h}
+        else:
+            opt_b = state.opt_state["backbone"]
+            opt_b.hyperparams["learning_rate"] = lr
+            upd_b, new_b = tx.update(grads_b, opt_b, params_b)
+            params.update(optax.apply_updates(params_b, upd_b))
+            new_opt = {"backbone": new_b, "head": new_h}
         new_state = state.replace(step=state.step + 1, params=params,
                                   batch_stats=new_bs, opt_state=new_opt)
         metrics = {"loss": total, "main_loss": main, "f_score": fs}

@@ -51,7 +51,9 @@ def test_prepare_dataset_split_and_audit(tmp_path, capsys):
 def test_train_fusion_cli_on_synthetic(tmp_path, capsys):
     from scripts.train_fusion import main
     from cervical_tpu.data.fusion_data import make_synthetic_fusion, save_npz
-    ds = make_synthetic_fusion(num_patients=16, modalities=("imgN", "cli"),
+    # >= 2 members per class per inner split (stratified splitter raises
+    # on singleton classes, like sklearn)
+    ds = make_synthetic_fusion(num_patients=40, modalities=("imgN", "cli"),
                                feature_dim=32)
     p = tmp_path / "cohort.npz"
     save_npz(str(p), ds)

@@ -76,11 +76,22 @@ def test_epoch0_no_step_keeps_params():
     feats0 = {m: ds["feats"][m][:1] for m in cfg.modalities}
     state = trainer.init_state(feats0, jax.random.PRNGKey(0))
     before = jax.device_get(state["params"])
+    opt_before = jax.device_get(state["opt_state"])
     state, _ = trainer.train_epoch(state, ds, epoch=0, lr=1e-3)
     after = jax.device_get(state["params"])
     for a, b in zip(jax.tree_util.tree_leaves(before),
                     jax.tree_util.tree_leaves(after)):
         np.testing.assert_array_equal(a, b)
+    # the reference never calls optimizer.step() in epoch 0
+    # (my_train(full).py:350-353): Adam moments and count stay untouched
+    # (the injected learning_rate hyperparam is set every step by design)
+    after_opt = jax.device_get(state["opt_state"])
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(opt_before)[0],
+            jax.tree_util.tree_flatten_with_path(after_opt)[0]):
+        if any("learning_rate" in str(k) for k in pa):
+            continue
+        np.testing.assert_array_equal(a, b, err_msg=str(pa))
     # epoch 1 does update
     state, _ = trainer.train_epoch(state, ds, epoch=1, lr=1e-3)
     after2 = jax.device_get(state["params"])
@@ -94,7 +105,9 @@ def test_cross_validate_two_modal():
     cfg = FusionTrainConfig(modalities=("imgN", "cli"), epochs=2, kfold=2,
                             batch_size=16, epoch0_no_step=False,
                             in_features=64)
-    ds = make_synthetic_fusion(num_patients=24, modalities=cfg.modalities,
+    # >= 2 members per class per inner split (the stratified splitter now
+    # raises like sklearn on singleton classes)
+    ds = make_synthetic_fusion(num_patients=40, modalities=cfg.modalities,
                                feature_dim=64, noise=0.2)
     trainer = FusionTrainer(cfg)
     out = trainer.cross_validate(ds, log=lambda *a: None)
