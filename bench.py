@@ -61,7 +61,7 @@ def bench_augmentation(batch=1024, size=512, iters=12, windows=3, warmup=6):
         out = pipeline(images, labels, keys[i])
     _ = float(out[0][0, 0, 0, 0])
 
-    best = float("inf")
+    times = []
     k = warmup
     for _w in range(windows):
         t0 = time.perf_counter()
@@ -70,17 +70,22 @@ def bench_augmentation(batch=1024, size=512, iters=12, windows=3, warmup=6):
             k += 1
         # force full completion of the window
         _ = float(out[0].sum()) + float(out[1].sum())
-        best = min(best, time.perf_counter() - t0)
-    return batch * iters / best
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    median = times[len(times) // 2]
+    return batch * iters / median, batch * iters / times[0]
 
 
 def main():
     target = 10_000.0
-    ips = bench_augmentation()
+    # value = MEDIAN window (honest against the documented tunnel drift);
+    # best window reported alongside (round-1 VERDICT item 8)
+    ips, best = bench_augmentation(windows=5)
     print(json.dumps({
         "metric": "augmented 512x512 images/sec/chip (fused train-time preprocessing)",
         "value": round(ips, 1),
         "unit": "images/sec/chip",
+        "best": round(best, 1),
         "vs_baseline": round(ips / target, 3),
     }))
 

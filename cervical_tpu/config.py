@@ -37,9 +37,10 @@ class SegDataConfig:
     scale_max: float = 2.0
     # 2-shear rotation approximation (~0.5 px shape error at 10 deg, under
     # the +-30% aspect jitter of the same pipeline) — ~1.3x faster warp on
-    # the target chip and the config bench.py measures.  False restores the
-    # exact Paeth 3-shear map (docs/PARITY.md).
-    two_shear: bool = True
+    # the target chip.  Default False = the exact Paeth 3-shear map (parity
+    # by default); perf configs and bench.py opt in with True
+    # (docs/PARITY.md).
+    two_shear: bool = False
 
 
 @dataclass
@@ -107,6 +108,10 @@ class FusionTrainConfig:
     head_weight_img: float = 0.3
     head_weight_cli: float = 0.2
     epoch0_no_step: bool = True  # my_train(full).py:350-353 warmup quirk
+    # evaluate the test fold every epoch like the reference (my_train(full)
+    # .py:538-539) — selection stays val-based; this only adds the reported
+    # per-epoch test trajectory
+    per_epoch_test: bool = True
     start_seed: int = 0
     repeat_num: int = 1
     save_dir: str = "logs_fusion"

@@ -19,43 +19,53 @@ import jax
 from cervical_tpu.parallel import local_batch_slice, shard_batch
 
 
-def host_local_batches(loader: Iterable, mesh) -> Iterator:
+def host_local_batches(loader: Iterable, mesh, with_weights: bool = False
+                       ) -> Iterator:
     """Slice each global batch to this process's portion (multi-host).
 
     Ragged final batches (eval loaders keep tails) are padded by repeating
     the last row up to a process-divisible size BEFORE slicing — otherwise
     ``global // process_count`` would silently drop the remainder rows on
-    every host.  Callers that must not double-count (metrics) see the
-    padded rows only on multi-host runs; the seg eval path is robust to
-    them because padded label rows repeat real ones and the trainer's
-    on-device confusion is normalized per pixel — for exact multihost
-    metrics, size eval sets divisibly.
+    every host.
+
+    ``with_weights``: additionally pad up to a (process x data-axis)-
+    divisible size and append a (B,) float32 0/1 validity vector marking
+    padded rows.  Eval steps thread it through ``sample_weights`` so
+    confusion counts and losses are EXACT at any eval-set size (the padded
+    rows contribute nothing), and every batch shards cleanly over the mesh.
     """
     import numpy as np
 
     n_proc = jax.process_count()
+    divisor = n_proc * (mesh.shape["data"] if with_weights else 1)
     for batch in loader:
-        if n_proc == 1:
-            yield batch
-            continue
         first = jax.tree_util.tree_leaves(batch)[0]
         n = len(first)
-        pad = (-n) % n_proc
-        if pad:  # pragma: no cover - multihost only
+        pad = (-n) % divisor
+        weights = np.ones(n + pad, np.float32)
+        if pad:
             batch = jax.tree_util.tree_map(
                 lambda x: np.concatenate(
                     [x, np.repeat(x[-1:], pad, axis=0)], axis=0), batch)
+            weights[n:] = 0.0
             n += pad
-        sl = local_batch_slice(n, mesh)
+        if with_weights:
+            batch = tuple(batch) + (weights,)
+        if n_proc == 1:
+            yield batch
+            continue
+        sl = local_batch_slice(n, mesh)  # pragma: no cover - multihost only
         yield jax.tree_util.tree_map(lambda x: x[sl], batch)
 
 
-def device_prefetch(loader: Iterable, mesh, depth: int = 2) -> Iterator:
+def device_prefetch(loader: Iterable, mesh, depth: int = 2,
+                    with_weights: bool = False) -> Iterator:
     """Upload batches to the mesh-sharded layout ahead of consumption.
 
     ``depth`` batches are kept in flight; device_put is asynchronous, so the
     returned arrays are ready (or in transit) when the training loop asks
-    for them.
+    for them.  ``with_weights`` appends the validity vector (see
+    :func:`host_local_batches`).
     """
     q: queue.Queue = queue.Queue(maxsize=depth)
     _SENTINEL = object()
@@ -63,7 +73,7 @@ def device_prefetch(loader: Iterable, mesh, depth: int = 2) -> Iterator:
 
     def producer():
         try:
-            for batch in host_local_batches(loader, mesh):
+            for batch in host_local_batches(loader, mesh, with_weights):
                 q.put(shard_batch(mesh, batch))
         except Exception as e:  # pragma: no cover
             err.append(e)

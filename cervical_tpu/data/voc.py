@@ -139,18 +139,23 @@ class BatchLoader:
             return
 
         # strided batch assignment: worker w produces batches w, w+W, ...;
-        # per-batch single-slot queues preserve delivery order.  A shared
-        # semaphore bounds the decoded-but-unconsumed batches to
-        # 2*num_workers (the slot queues alone would let workers decode the
-        # whole epoch ahead of a slow training step — host-RAM blowup).
-        # Worker exceptions (missing/corrupt files) are delivered into the
-        # slot and re-raised in the consumer instead of hanging it.
+        # per-batch single-slot queues preserve delivery order.  Backpressure
+        # is PER WORKER (each may run at most 2 batches ahead of its own
+        # consumed batches) rather than a shared pool: a shared semaphore can
+        # deadlock — fast workers racing ahead can hold every token in
+        # filled future slots while the owner of the next-needed batch is
+        # parked on acquire, and the consumer (blocked on that slot) then
+        # never releases.  With per-worker budgets the owner of the next
+        # batch can always acquire.  Total decoded-but-unconsumed batches
+        # stay bounded by 2*num_workers.  Worker exceptions (missing/corrupt
+        # files) are delivered into the slot and re-raised in the consumer
+        # instead of hanging it.
         out_slots = [queue_mod.Queue(maxsize=1) for _ in range(len(batches))]
-        budget = threading.Semaphore(2 * self.num_workers)
+        budgets = [threading.Semaphore(2) for _ in range(self.num_workers)]
 
         def slot_worker(worker_id):
             for bi in range(worker_id, len(batches), self.num_workers):
-                budget.acquire()
+                budgets[worker_id].acquire()
                 if stop.is_set():
                     return
                 try:
@@ -164,15 +169,15 @@ class BatchLoader:
         try:
             for bi in range(len(batches)):
                 item = out_slots[bi].get()
-                budget.release()
+                budgets[bi % self.num_workers].release()
                 if isinstance(item, BaseException):
                     raise item
                 yield item
         finally:
             stop.set()
-            # unblock workers parked on the budget so threads exit
-            for _ in range(self.num_workers):
-                budget.release()
+            # unblock workers parked on their budget so threads exit
+            for b in budgets:
+                b.release()
 
 
 # ---------------------------------------------------------------------------

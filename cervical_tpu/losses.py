@@ -42,44 +42,73 @@ def _flat_ce_terms(logits, labels, class_weights, num_classes):
     return nll * wy, wy, valid
 
 
-def cross_entropy_loss(logits, labels, class_weights=None, num_classes=None):
+def _row_weights(sample_weights, ndim):
+    """(B,) weights broadcast over per-pixel terms of rank ``ndim``."""
+    w = jnp.asarray(sample_weights, jnp.float32)
+    return w.reshape(w.shape + (1,) * (ndim - 1))
+
+
+def cross_entropy_loss(logits, labels, class_weights=None, num_classes=None,
+                       sample_weights=None):
     """Weighted CE with ignore index == ``num_classes``.
 
     Reference: ``CE_Loss`` (deeplabv3_training.py:9-19).  torch's weighted mean
     divides by the summed weights of the non-ignored targets.
+    ``sample_weights``: optional (B,) row weights — weight-0 rows (padded
+    multihost eval rows, data/pipeline.py) are excluded exactly, as if absent.
     """
     if num_classes is None:
         num_classes = logits.shape[-1]
     weighted_nll, wy, _ = _flat_ce_terms(logits, labels, class_weights, num_classes)
+    if sample_weights is not None:
+        rw = _row_weights(sample_weights, weighted_nll.ndim)
+        weighted_nll = weighted_nll * rw
+        wy = wy * rw
     return jnp.sum(weighted_nll) / jnp.maximum(jnp.sum(wy), 1e-12)
 
 def focal_loss(logits, labels, class_weights=None, num_classes=None,
-               alpha=0.5, gamma=2.0):
+               alpha=0.5, gamma=2.0, sample_weights=None):
     """Focal loss, replicating ``Focal_Loss`` (deeplabv3_training.py:21-36).
 
     Reference quirks preserved deliberately: ``pt`` is computed from the
     *weighted* nll (so ``pt = p**w`` when class weights are used), ``alpha``
     scales the logpt term, and the final mean runs over *all* pixels including
-    ignored ones (which contribute zeros).
+    ignored ones (which contribute zeros).  ``sample_weights``: optional (B,)
+    row weights; the mean denominator counts only weighted rows' pixels, so
+    weight-0 padding rows are excluded exactly.
     """
     if num_classes is None:
         num_classes = logits.shape[-1]
     weighted_nll, _, _ = _flat_ce_terms(logits, labels, class_weights, num_classes)
     pt = jnp.exp(-weighted_nll)
     focal = (1.0 - pt) ** gamma * alpha * weighted_nll
-    return jnp.mean(focal)
+    if sample_weights is None:
+        return jnp.mean(focal)
+    rw = _row_weights(sample_weights, focal.ndim)
+    per_row = 1.0
+    for s in focal.shape[1:]:
+        per_row *= s
+    denom = jnp.maximum(jnp.sum(rw) * per_row, 1e-12)
+    return jnp.sum(focal * rw) / denom
 
 
-def dice_loss(logits, one_hot_labels, beta=1.0, smooth=1e-5):
+def dice_loss(logits, one_hot_labels, beta=1.0, smooth=1e-5,
+              sample_weights=None):
     """Soft dice over one-hot targets with an extra trailing ignore channel.
 
     Reference: ``Dice_loss`` (deeplabv3_training.py:38-56).  ``one_hot_labels``
     has ``num_classes + 1`` channels; the last (ignore/white-border) channel is
     dropped from tp/fn, matching ``temp_target[..., :-1]``.
+    ``sample_weights``: optional (B,) row weights zeroing padded rows out of
+    tp/fp/fn exactly.
     """
     b = logits.shape[0]
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).reshape(b, -1, logits.shape[-1])
     target = one_hot_labels.astype(jnp.float32).reshape(b, -1, one_hot_labels.shape[-1])
+    if sample_weights is not None:
+        rw = _row_weights(sample_weights, 3)
+        probs = probs * rw
+        target = target * rw
     tp = jnp.sum(target[..., :-1] * probs, axis=(0, 1))
     fp = jnp.sum(probs, axis=(0, 1)) - tp
     fn = jnp.sum(target[..., :-1], axis=(0, 1)) - tp
@@ -87,12 +116,17 @@ def dice_loss(logits, one_hot_labels, beta=1.0, smooth=1e-5):
     return 1.0 - jnp.mean(score)
 
 
-def f_score(logits, one_hot_labels, beta=1.0, smooth=1e-5, threshold=0.5):
+def f_score(logits, one_hot_labels, beta=1.0, smooth=1e-5, threshold=0.5,
+            sample_weights=None):
     """Thresholded dice coefficient monitor (utils_metrics.py:13-35)."""
     b = logits.shape[0]
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).reshape(b, -1, logits.shape[-1])
     probs = (probs > threshold).astype(jnp.float32)
     target = one_hot_labels.astype(jnp.float32).reshape(b, -1, one_hot_labels.shape[-1])
+    if sample_weights is not None:
+        rw = _row_weights(sample_weights, 3)
+        probs = probs * rw
+        target = target * rw
     tp = jnp.sum(target[..., :-1] * probs, axis=(0, 1))
     fp = jnp.sum(probs, axis=(0, 1)) - tp
     fn = jnp.sum(target[..., :-1], axis=(0, 1)) - tp

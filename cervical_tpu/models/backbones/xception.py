@@ -108,7 +108,12 @@ class XceptionBlock(nn.Module):
             skip = nn.BatchNorm(use_running_average=not train, **_BN,
                                 dtype=self.dtype, name="skip_bn")(skip)
         else:
-            skip = x
+            # identity-skip blocks add relu(x), NOT x: the torch reference
+            # aliases ``skip = inp`` and then sepconv1's inplace ReLU mutates
+            # ``inp`` before ``x += skip`` (xception.py:12,21-22,55,66-72) —
+            # verified empirically against the torch Block in
+            # tests/test_torch_forward_parity.py (docs/PARITY.md)
+            skip = nn.relu(x)
 
         filters = self.features if self.grow_first else inp
         a = self.atrous

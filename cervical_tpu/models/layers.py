@@ -81,7 +81,11 @@ class GraphNorm(nn.Module):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=axes, keepdims=True)
         var = jnp.var(xf, axis=axes, keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        # PyG's graph-mode LayerNorm (batch=None path, the reference's call
+        # pattern inside nn.Sequential) divides by std(unbiased=False) + eps
+        # — eps OUTSIDE the sqrt, unlike torch LayerNorm.  Verified against
+        # the PyG-formula shim in tests/test_torch_fusion_parity.py.
+        y = (xf - mean) / (jnp.sqrt(var) + self.epsilon)
         y = y * scale + bias
         return y.astype(self.dtype or x.dtype)
 

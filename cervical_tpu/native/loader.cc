@@ -12,6 +12,7 @@
 
 #include <atomic>
 #include <cstdint>
+#include <sys/stat.h>
 #include <cstdio>
 #include <cstring>
 #include <string>
@@ -128,32 +129,39 @@ void resize_rgb(const Image& src, uint8_t* dst, int oh, int ow) {
 // --- raw mask sidecars -----------------------------------------------------
 // PNG inflate dominates mask decode on small-core hosts (docs/ROADMAP.md
 // item 6): after the first epoch, masks are re-read from an uncompressed
-// sidecar `<png>.rawmask` (header: magic, png byte size for freshness, h, w).
+// sidecar `<png>.rawmask` (header: magic, png byte size + mtime for
+// freshness, h, w).  Size alone can collide (a regenerated PNG of identical
+// byte size would silently serve stale labels), so the source PNG's mtime
+// (nanosecond resolution where the filesystem provides it) is part of the
+// freshness check.
 
-constexpr uint32_t kSidecarMagic = 0x43524D31;  // "CRM1"
+constexpr uint32_t kSidecarMagic = 0x43524D32;  // "CRM2" (v1 lacked mtime)
 
 struct SidecarHeader {
   uint32_t magic;
   uint32_t png_size;
   int32_t h, w;
+  int64_t png_mtime_ns;
 };
 
-long file_size(const char* path) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return -1;
-  fseek(f, 0, SEEK_END);
-  long n = ftell(f);
-  fclose(f);
-  return n;
+// size + mtime (ns) of a file; returns false if unstatable
+bool file_stat(const char* path, long* size, int64_t* mtime_ns) {
+  struct stat st;
+  if (stat(path, &st) != 0) return false;
+  *size = static_cast<long>(st.st_size);
+  *mtime_ns = static_cast<int64_t>(st.st_mtim.tv_sec) * 1000000000 +
+              st.st_mtim.tv_nsec;
+  return true;
 }
 
-bool read_sidecar(const std::string& path, long png_size, Image* img) {
+bool read_sidecar(const std::string& path, long png_size, int64_t png_mtime,
+                  Image* img) {
   FILE* f = fopen(path.c_str(), "rb");
   if (!f) return false;
   SidecarHeader hd;
   if (fread(&hd, sizeof(hd), 1, f) != 1 || hd.magic != kSidecarMagic ||
-      hd.png_size != static_cast<uint32_t>(png_size) || hd.h <= 0 ||
-      hd.w <= 0) {
+      hd.png_size != static_cast<uint32_t>(png_size) ||
+      hd.png_mtime_ns != png_mtime || hd.h <= 0 || hd.w <= 0) {
     fclose(f);
     return false;
   }
@@ -167,14 +175,15 @@ bool read_sidecar(const std::string& path, long png_size, Image* img) {
   return ok;
 }
 
-void write_sidecar(const std::string& path, long png_size, const Image& img) {
+void write_sidecar(const std::string& path, long png_size, int64_t png_mtime,
+                   const Image& img) {
   // best-effort (read-only dataset dirs are fine): temp file + rename so a
   // concurrent reader never sees a torn sidecar
   std::string tmp = path + ".tmp";
   FILE* f = fopen(tmp.c_str(), "wb");
   if (!f) return;
   SidecarHeader hd{kSidecarMagic, static_cast<uint32_t>(png_size),
-                   img.h, img.w};
+                   img.h, img.w, png_mtime};
   bool ok = fwrite(&hd, sizeof(hd), 1, f) == 1 &&
             fwrite(img.data.data(), 1, img.data.size(), f) == img.data.size();
   fclose(f);
@@ -236,16 +245,19 @@ int fill_batch(const char** jpg_paths, const char** png_paths, int n,
         bool mok = false;
         std::string side;
         long png_size = -1;
+        int64_t png_mtime = 0;
+        bool statted = false;
         if (use_mask_cache) {
-          png_size = file_size(png_paths[i]);
+          statted = file_stat(png_paths[i], &png_size, &png_mtime);
           side = std::string(png_paths[i]) + ".rawmask";
-          mok = png_size > 0 && read_sidecar(side, png_size, &msk);
+          mok = statted && png_size > 0 &&
+                read_sidecar(side, png_size, png_mtime, &msk);
         }
         if (!mok) {
           mok = read_file(png_paths[i], &bytes) &&
                 decode_png_gray(bytes, &msk);
-          if (mok && use_mask_cache && png_size > 0)
-            write_sidecar(side, png_size, msk);
+          if (mok && use_mask_cache && statted && png_size > 0)
+            write_sidecar(side, png_size, png_mtime, msk);
         }
         if (mok) {
           if (msk.h == stage_h && msk.w == stage_w) {

@@ -247,11 +247,14 @@ class FusionTrainer:
         report = {"loss": total_ce / max(nb, 1)}
         for k, v in all_preds.items():
             report[f"acc_{k}"] = metrics.accuracy(true, np.concatenate(v))
+        # the full epoch metric block the reference prints (my_train(full)
+        # .py:386-408): confusion + per-class precision/recall/F1 +
+        # FP/FN/TP/TN + sensitivity/specificity
         cls = metrics.classification_report(
             true, np.concatenate(all_preds["all"]), self.cfg.num_classes)
-        report["confusion"] = cls["confusion"]
-        report["sensitivity"] = cls["sensitivity"]
-        report["specificity"] = cls["specificity"]
+        for k in ("confusion", "precision", "recall", "f1", "fp", "fn",
+                  "tp", "tn", "sensitivity", "specificity"):
+            report[k] = cls[k]
         return state, report
 
     def predict(self, params, ds, batch_size: int = 512,
@@ -350,9 +353,17 @@ class FusionTrainer:
                 train_ds = subset(ds, tr_idx)
                 val_ds = subset(ds, val_idx)
                 test_ds = subset(ds, test_idx)
+                epoch_test = [] if cfg.per_epoch_test else None
                 for epoch in range(epochs):
                     lr = schedule(epoch)
                     state, rep = self.train_epoch(state, train_ds, epoch, lr)
+                    # the reference evaluates BOTH test and val every epoch
+                    # (my_train(full).py:538-539); selection stays val-based
+                    if cfg.per_epoch_test:
+                        te = self.predict(state["params"], test_ds)
+                        epoch_test.append({"epoch": epoch,
+                                           "loss": te["loss"],
+                                           "acc_all": te["acc_all"]})
                     val = self.predict(state["params"], val_ds)
                     if history is not None:
                         history.append(epoch, rep["loss"], val["loss"],
@@ -362,9 +373,12 @@ class FusionTrainer:
                                 "params": jax.device_get(state["params"]),
                                 "epoch": epoch}
                     if (epoch + 1) % 20 == 0 or epoch == epochs - 1:
-                        log(f"seed {seed} fold {fold} epoch {epoch + 1}: "
-                            f"train acc {rep['acc_all']:.3f} "
-                            f"val acc {val['acc_all']:.3f}")
+                        msg = (f"seed {seed} fold {fold} epoch {epoch + 1}: "
+                               f"train acc {rep['acc_all']:.3f} "
+                               f"val acc {val['acc_all']:.3f}")
+                        if cfg.per_epoch_test:
+                            msg += f" test acc {epoch_test[-1]['acc_all']:.3f}"
+                        log(msg)
                 final = self.predict(best["params"] or state["params"], test_ds)
                 if history is not None:
                     history.plot()
@@ -380,7 +394,8 @@ class FusionTrainer:
                 fold_results.append({"seed": seed, "fold": fold,
                                      "best_epoch": best["epoch"],
                                      "val_acc": best["val_acc"],
-                                     "test": final})
+                                     "test": final,
+                                     "epoch_test": epoch_test})
                 log(f"seed {seed} fold {fold}: test acc {final['acc_all']:.3f}")
             results.extend(fold_results)
         mean_acc = float(np.mean([r["test"]["acc_all"] for r in results]))

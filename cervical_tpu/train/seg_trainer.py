@@ -101,12 +101,42 @@ def reference_weights_init(params, rng, init_gain: float = 0.02):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+def load_pretrained(cfg: SegTrainConfig, variables, log=print):
+    """Merge converted torch weights into freshly-initialized variables.
+
+    The reference's default bootstrap flow: ImageNet backbone weights
+    (``download_weights``, train.py:304-310) and/or the shape-matched
+    partial load of a whole-model checkpoint like ``deeplab_xception.pth``
+    (train.py:317-339 — mismatching shapes are skipped, not fatal).  The
+    checkpoint kind (backbone-only vs whole model) is auto-detected from
+    the key scheme.
+    """
+    from cervical_tpu.train import torch_import as TI
+
+    sd = TI.load_state_dict(cfg.pretrained)
+    if TI.is_full_deeplab_sd(sd):
+        params, stats, _ = TI.convert_deeplab(sd, cfg.backbone, strict=False)
+        scope = None
+    else:
+        conv = {"xception": TI.convert_xception,
+                "mobilenet": TI.convert_mobilenetv2}[cfg.backbone]
+        params, stats, _ = conv(sd, strict=False)
+        scope = "backbone"
+    variables, loaded, skipped = TI.merge_into(variables, params, stats,
+                                               scope=scope)
+    log(f"pretrained {cfg.pretrained!r}: loaded {len(loaded)} arrays"
+        + (f", skipped {len(skipped)} shape mismatches" if skipped else ""))
+    return variables
+
+
 def create_state(cfg: SegTrainConfig, rng) -> TrainState:
     model = build_model(cfg)
     h, w = cfg.data.input_shape
     rng, init_rng = jax.random.split(rng)
     variables = model.init(rng, jnp.zeros((1, h, w, 3), _dtype(cfg)))
     tx = make_optimizer(cfg)
+    if cfg.pretrained:
+        variables = load_pretrained(cfg, variables)
     params = variables["params"]
     if not cfg.pretrained and cfg.weights_init == "normal":
         params = reference_weights_init(params, init_rng)
@@ -132,16 +162,20 @@ def _split_params(params):
     return backbone, head
 
 
-def seg_loss_fn(cfg: SegTrainConfig, logits, labels, one_hot):
+def seg_loss_fn(cfg: SegTrainConfig, logits, labels, one_hot,
+                sample_weights=None):
     cls_w = jnp.asarray(cfg.cls_weights, jnp.float32)
     nc = cfg.data.num_classes
     if cfg.focal_loss:
-        main = losses.focal_loss(logits, labels, cls_w, nc)
+        main = losses.focal_loss(logits, labels, cls_w, nc,
+                                 sample_weights=sample_weights)
     else:
-        main = losses.cross_entropy_loss(logits, labels, cls_w, nc)
+        main = losses.cross_entropy_loss(logits, labels, cls_w, nc,
+                                         sample_weights=sample_weights)
     total = main
     if cfg.dice_loss:
-        total = total + losses.dice_loss(logits, one_hot)
+        total = total + losses.dice_loss(logits, one_hot,
+                                         sample_weights=sample_weights)
     return total, main
 
 
@@ -216,19 +250,26 @@ def make_eval_step(cfg: SegTrainConfig, model: DeepLab):
     from cervical_tpu.ops.warp_xla import augment_batch_einsum
 
     @jax.jit
-    def step(state: TrainState, images, labels):
+    def step(state: TrainState, images, labels, weights=None):
         lp = aug_ops.letterbox_params_like(images.shape[0],
                                            images.shape[1:3], (h, w))
         images, labels = augment_batch_einsum(images, labels, lp, (h, w),
                                               letterbox=True)
         images = images.astype(_dtype(cfg))
         labels = jnp.minimum(labels, nc)
+        if weights is not None:
+            # weight-0 rows (multihost padding, data/pipeline.py) become
+            # all-ignore: excluded from CE and the confusion matrix, and
+            # zeroed out of focal/dice/f-score via sample_weights — eval
+            # metrics are exact at any eval-set size
+            labels = jnp.where(weights[:, None, None] > 0, labels, nc)
         one_hot = one_hot_with_ignore(labels, nc)
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             images, train=False)
-        total, main = seg_loss_fn(cfg, logits, labels, one_hot)
-        fs = losses.f_score(logits, one_hot)
+        total, main = seg_loss_fn(cfg, logits, labels, one_hot,
+                                  sample_weights=weights)
+        fs = losses.f_score(logits, one_hot, sample_weights=weights)
         preds = jnp.argmax(logits, axis=-1)
         hist = confusion_matrix_jax(labels, preds, nc)
         return {"loss": total, "f_score": fs, "hist": hist}
@@ -302,8 +343,9 @@ class SegTrainer:
             n += 1
         vl, vf, vn = 0.0, 0.0, 0
         eval_fn = self._eval_step()
-        for images, labels in device_prefetch(val_loader, self.mesh):
-            m = eval_fn(self.state, images, labels)
+        for images, labels, w in device_prefetch(val_loader, self.mesh,
+                                                 with_weights=True):
+            m = eval_fn(self.state, images, labels, w)
             vl += float(m["loss"])
             vf += float(m["f_score"])
             vn += 1
@@ -368,13 +410,18 @@ class SegTrainer:
 
     def evaluate_miou(self, loader, num_classes: Optional[int] = None) -> Dict:
         """Accumulate an on-device confusion matrix over a loader and
-        summarize (EvalCallback equivalent, utils/callbacks.py:153-200)."""
+        summarize (EvalCallback equivalent, utils/callbacks.py:153-200).
+
+        Ragged batches are padded with weight-0 rows (data/pipeline.py), so
+        the accumulated hist counts each real pixel exactly once."""
+        from cervical_tpu.data.pipeline import host_local_batches
         from cervical_tpu.metrics import summarize_hist
         nc = num_classes or self.cfg.data.num_classes
         hist = np.zeros((nc, nc), np.int64)
         eval_fn = self._eval_step()
-        for images, labels in loader:
-            batch = shard_batch(self.mesh, (images, labels))
-            m = eval_fn(self.state, batch[0], batch[1])
+        for images, labels, w in host_local_batches(loader, self.mesh,
+                                                    with_weights=True):
+            batch = shard_batch(self.mesh, (images, labels, w))
+            m = eval_fn(self.state, batch[0], batch[1], batch[2])
             hist += np.asarray(m["hist"], np.int64)
         return summarize_hist(hist)

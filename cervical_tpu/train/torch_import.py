@@ -49,6 +49,7 @@ class _Mapper:
         self.params: Dict = {}
         self.stats: Dict = {}
         self.missing = []
+        self.used = set()  # torch keys consumed (coverage checks in tests)
         self.strict = strict
 
     def _get(self, key):
@@ -57,6 +58,7 @@ class _Mapper:
             if self.strict:
                 raise KeyError(f"torch key missing: {key}")
             return None
+        self.used.add(key)
         return self.sd[key]
 
     def _set(self, tree, path, value):
@@ -82,6 +84,21 @@ class _Mapper:
             v = self._get(f"{torch_name}.{tname}")
             if v is not None:
                 self._set(tree, flax_path + (fname,), np.asarray(v))
+
+    def ln(self, flax_path, torch_name):
+        """LayerNorm/GraphNorm: weight/bias -> scale/bias (params only)."""
+        for tname, fname in (("weight", "scale"), ("bias", "bias")):
+            v = self._get(f"{torch_name}.{tname}")
+            if v is not None:
+                self._set(self.params, flax_path + (fname,), np.asarray(v))
+
+    def raw(self, flax_path, torch_name, transform=None):
+        v = self._get(torch_name)
+        if v is not None:
+            v = np.asarray(v)
+            if transform is not None:
+                v = transform(v)
+            self._set(self.params, flax_path, v)
 
     def linear(self, flax_path, torch_name, bias=True):
         w = self._get(torch_name + ".weight")
@@ -174,6 +191,121 @@ def convert_resnet(sd: Dict[str, np.ndarray], depth: int = 101,
     if with_fc and "fc.weight" in sd:
         m.linear(("fc",), "fc")
     return m.params, m.stats, m.missing
+
+
+def convert_deeplab(sd: Dict[str, np.ndarray], backbone: str = "xception",
+                    strict: bool = True):
+    """Whole-model DeepLab state dict (``deeplab_xception.pth``-style,
+    train.py:317-339) -> flax params/batch_stats for
+    :class:`cervical_tpu.models.deeplab.DeepLab`.
+
+    Torch layout (nets/deeplabv3_plus.py:116-168): ``backbone.*``;
+    ``aspp.branch{1..4}.0/.1`` conv/bn, ``aspp.branch5_conv``/``_bn``,
+    ``aspp.conv_cat.0/.1``; ``shortcut_conv.0/.1``; ``cat_conv.0/.1`` and
+    ``.4/.5``; ``cls_conv``.
+    """
+    bsd = {k[len("backbone."):]: v for k, v in sd.items()
+           if k.startswith("backbone.")}
+    if backbone == "xception":
+        bp, bs, bmiss = convert_xception(bsd, strict)
+    elif backbone == "mobilenet":
+        # DeepLab's wrapper holds ``model.features[:-1]`` under
+        # ``backbone.features`` (deeplabv3_plus.py:13-14), so the stripped
+        # keys line up with the standalone mobilenet scheme
+        bp, bs, bmiss = convert_mobilenetv2(bsd, strict)
+    else:
+        raise ValueError(f"unknown backbone {backbone!r}")
+
+    m = _Mapper(sd, strict)
+    m.params["backbone"] = bp
+    m.stats["backbone"] = bs
+    m.missing.extend("backbone." + k for k in bmiss)
+
+    def cbr(flax_prefix, conv_name, bn_name):
+        m.conv(flax_prefix + ("conv",), conv_name, bias=True)
+        m.bn(flax_prefix + ("bn",), bn_name)
+
+    for i in (1, 2, 3, 4):
+        cbr(("aspp", f"branch{i}"), f"aspp.branch{i}.0", f"aspp.branch{i}.1")
+    cbr(("aspp", "branch5"), "aspp.branch5_conv", "aspp.branch5_bn")
+    cbr(("aspp", "fuse"), "aspp.conv_cat.0", "aspp.conv_cat.1")
+    cbr(("shortcut",), "shortcut_conv.0", "shortcut_conv.1")
+    cbr(("cat_conv1",), "cat_conv.0", "cat_conv.1")
+    cbr(("cat_conv2",), "cat_conv.4", "cat_conv.5")
+    m.conv(("cls_conv",), "cls_conv", bias=True)
+    return m.params, m.stats, m.missing
+
+
+def convert_fusion(sd: Dict[str, np.ndarray],
+                   modalities=("imgN", "imgA", "imgL", "cli"),
+                   strict: bool = True):
+    """``fusion_model_mae_2`` state dict -> :class:`FusionMAE` params.
+
+    Torch layout (my_mae_model.py:399-498): per-modality PyG ``SAGEConv``
+    (``lin_l`` w/ bias + ``lin_r`` no-bias), PyG ``LayerNorm`` inside the
+    ``GNN_relu_Block`` Sequential (index 1), two gated-attention pools with
+    ``gate_nn`` = Linear->ReLU->Linear Sequentials, the
+    ``PretrainVisionTransformer`` MAE (mae_utils.py ViT blocks, qkv_bias
+    False so no q/v bias params), the shared-norm ``MixerBlock``, per-modality
+    MLP towers + LayerNorms, and the fused + per-modality classifiers.
+
+    The dead ``fc_cli_1``/``fc_cli_2`` layers (my_mae_model.py:421-422) are
+    intentionally not mapped (no flax counterpart).
+    """
+    m = _Mapper(sd, strict)
+
+    def gate(flax_prefix, torch_prefix):
+        m.linear(flax_prefix + ("gate_fc1",), torch_prefix + ".gate_nn.0")
+        m.linear(flax_prefix + ("gate_fc2",), torch_prefix + ".gate_nn.2")
+
+    for mod in modalities:
+        m.linear((f"{mod}_gnn", "lin_l"), f"{mod}_gnn_2.lin_l")
+        m.linear((f"{mod}_gnn", "lin_r"), f"{mod}_gnn_2.lin_r", bias=False)
+        m.ln((f"{mod}_norm",), f"{mod}_relu_2.1")
+        gate((f"mpool_{mod}",), f"mpool_{mod}")
+        gate((f"mpool_{mod}_2",), f"mpool_{mod}_2")
+        m.linear((f"lin1_{mod}",), f"lin1_{mod}")
+        m.linear((f"lin2_{mod}",), f"lin2_{mod}")
+        m.linear((f"lin3_{mod}",), f"lin3_{mod}")
+        m.ln((f"norm1_{mod}",), f"norm1_{mod}")
+        m.ln((f"norm2_{mod}",), f"norm2_{mod}")
+        m.linear((f"classifier_{mod}",), f"classifier_{mod}")
+    m.linear(("classifier",), "classifier")
+
+    if len(modalities) > 1:
+        def vit_block(flax_prefix, torch_prefix):
+            m.ln(flax_prefix + ("norm1",), torch_prefix + ".norm1")
+            m.linear(flax_prefix + ("attn", "qkv"), torch_prefix + ".attn.qkv",
+                     bias=False)
+            m.linear(flax_prefix + ("attn", "proj"),
+                     torch_prefix + ".attn.proj")
+            m.ln(flax_prefix + ("norm2",), torch_prefix + ".norm2")
+            m.linear(flax_prefix + ("mlp", "fc1"), torch_prefix + ".mlp.fc1")
+            m.linear(flax_prefix + ("mlp", "fc2"), torch_prefix + ".mlp.fc2")
+
+        m.linear(("mae", "encoder", "patch_embed"), "mae.encoder.patch_embed")
+        vit_block(("mae", "encoder", "block0"), "mae.encoder.blocks.0")
+        m.ln(("mae", "encoder", "norm"), "mae.encoder.norm")
+        m.linear(("mae", "encoder_to_decoder"), "mae.encoder_to_decoder",
+                 bias=False)
+        m.raw(("mae", "mask_token"), "mae.mask_token",
+              transform=lambda v: v.reshape(-1))
+        vit_block(("mae", "decoder", "block0"), "mae.decoder.blocks.0")
+        m.ln(("mae", "decoder", "norm"), "mae.decoder.norm")
+        m.linear(("mae", "decoder", "head"), "mae.decoder.head")
+
+        m.ln(("mixer", "norm"), "mix.norm")
+        m.linear(("mixer", "token_mix_fc1"), "mix.mix_mip_1.0")
+        m.linear(("mixer", "token_mix_fc2"), "mix.mix_mip_1.2")
+        m.linear(("mixer", "channel_mix_fc1"), "mix.mix_mip_2.0")
+        m.linear(("mixer", "channel_mix_fc2"), "mix.mix_mip_2.2")
+    return m.params, m.stats, m.missing
+
+
+def is_full_deeplab_sd(sd: Dict[str, np.ndarray]) -> bool:
+    """Whole-model checkpoint vs backbone-only (decides the merge scope)."""
+    return any(k.startswith(("aspp.", "cat_conv.", "cls_conv.",
+                             "shortcut_conv.")) for k in sd)
 
 
 def merge_into(variables, params: Dict, stats: Dict, scope: Optional[str] = None):

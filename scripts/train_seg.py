@@ -27,9 +27,9 @@ def main(argv):
         argv = argv[:i] + argv[i + 2:]
     cfg = load_config(SegTrainConfig, cfg_path, parse_cli_overrides(argv))
     show_config(**{k: getattr(cfg, k) for k in
-                   ("backbone", "downsample_factor", "init_lr", "lr_decay_type",
-                    "freeze_train", "unfreeze_epoch", "cls_weights", "dtype",
-                    "save_dir")})
+                   ("backbone", "pretrained", "downsample_factor", "init_lr",
+                    "lr_decay_type", "freeze_train", "unfreeze_epoch",
+                    "cls_weights", "dtype", "save_dir")})
     seed_everything(cfg.seed)
 
     train_ids = read_split(cfg.data.dataset_path, "train")

@@ -113,3 +113,46 @@ def test_cross_validate_two_modal():
     out = trainer.cross_validate(ds, log=lambda *a: None)
     assert len(out["folds"]) == 2
     assert 0.0 <= out["mean_test_acc"] <= 1.0
+
+
+def test_epoch_report_keys_match_reference_printout():
+    """The per-epoch train report must carry every metric the reference's
+    train_a_epoch computes (my_train(full).py:386-408): per-head accuracies,
+    confusion matrix, per-class precision/recall/F1, FP/FN/TP/TN and
+    sensitivity/specificity; predict() must carry the prediction() metric set
+    (:144-171)."""
+    cfg = FusionTrainConfig(epochs=1, batch_size=8, epoch0_no_step=False,
+                            in_features=32)
+    ds = make_synthetic_fusion(num_patients=16, feature_dim=32)
+    trainer = FusionTrainer(cfg)
+    state = trainer.init_state(
+        {m: np.asarray(ds["feats"][m][:1]) for m in cfg.modalities},
+        jax.random.PRNGKey(0))
+    state, rep = trainer.train_epoch(state, ds, 0, cfg.lr)
+    expected = {"loss", "acc_all", "acc_imgN", "acc_imgA", "acc_imgL",
+                "acc_cli", "confusion", "precision", "recall", "f1",
+                "fp", "fn", "tp", "tn", "sensitivity", "specificity"}
+    assert expected <= set(rep)
+    assert rep["confusion"].shape == (4, 4)
+    assert rep["precision"].shape == (4,)
+
+    pred = trainer.predict(state["params"], ds)
+    # prediction() returns loss, per-head accuracies, cm, precision/recall/
+    # f1, FP/FN/TP/TN (my_train(full).py:144-171)
+    assert expected <= set(pred)
+
+
+def test_cross_validate_per_epoch_test_trajectory():
+    """per_epoch_test=True records the reference's per-epoch test evaluation
+    (my_train(full).py:538-539) without changing best-by-val selection."""
+    cfg = FusionTrainConfig(modalities=("imgN", "cli"), epochs=2, kfold=2,
+                            batch_size=16, epoch0_no_step=False,
+                            in_features=64, per_epoch_test=True)
+    ds = make_synthetic_fusion(num_patients=40, modalities=cfg.modalities,
+                               feature_dim=64, noise=0.2)
+    out = FusionTrainer(cfg).cross_validate(ds, log=lambda *a: None)
+    for fold in out["folds"]:
+        traj = fold["epoch_test"]
+        assert [t["epoch"] for t in traj] == [0, 1]
+        for t in traj:
+            assert 0.0 <= t["acc_all"] <= 1.0 and np.isfinite(t["loss"])

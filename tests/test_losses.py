@@ -122,3 +122,33 @@ def test_fusion_multihead_loss_mae_normalization():
     # aux = 10 / 4 / 5 = 0.5
     np.testing.assert_allclose(parts["mae_mse"], 0.5, rtol=1e-6)
     np.testing.assert_allclose(total, 0.5, atol=1e-5)
+
+
+def test_seg_losses_weight0_rows_exact():
+    """Weight-0 rows (multihost eval padding, data/pipeline.py) must leave
+    every seg loss exactly equal to the computation without those rows."""
+    from cervical_tpu.ops.image import one_hot_with_ignore
+    rng = np.random.default_rng(0)
+    nc = 5
+    logits = jnp.asarray(rng.normal(size=(5, 6, 6, nc)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, nc + 1, (5, 6, 6)).astype(np.int32))
+    cls_w = jnp.asarray([1.0, 1.0, 5.0, 3.0, 4.0])
+    w = jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0])
+    # padded rows become all-ignore before one-hot, like the eval step does
+    labels_m = jnp.where(w[:, None, None] > 0, labels, nc)
+    oh_m = one_hot_with_ignore(labels_m, nc)
+    oh3 = one_hot_with_ignore(labels[:3], nc)
+    pairs = [
+        (losses.cross_entropy_loss(logits, labels_m, cls_w, nc,
+                                   sample_weights=w),
+         losses.cross_entropy_loss(logits[:3], labels[:3], cls_w, nc)),
+        (losses.focal_loss(logits, labels_m, cls_w, nc, sample_weights=w),
+         losses.focal_loss(logits[:3], labels[:3], cls_w, nc)),
+        (losses.dice_loss(logits, oh_m, sample_weights=w),
+         losses.dice_loss(logits[:3], oh3)),
+        (losses.f_score(logits, oh_m, sample_weights=w),
+         losses.f_score(logits[:3], oh3)),
+    ]
+    for got, want in pairs:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-7)

@@ -90,8 +90,54 @@ def test_mask_sidecar_roundtrip(tmp_path):
     msk2 = np.zeros((32, 32), np.uint8)
     msk2[:4, :17] = 3
     Image.fromarray(msk2).save(pp)
-    if os.path.getsize(pp) == os.path.getsize(pp + ".rawmask") - 16:
-        pass  # size collision is possible but not for this content change
     _, l3, f3 = native.load_batch([jp], [pp], (32, 32))
     assert f3 == 0
     np.testing.assert_array_equal(l3[0], msk2)
+
+
+def test_mask_sidecar_mtime_detects_size_collision(tmp_path):
+    """A regenerated PNG of IDENTICAL byte size must not serve stale labels:
+    the sidecar header carries the source mtime (loader.cc SidecarHeader),
+    so a size collision alone cannot pass the freshness check."""
+    import os
+    import struct
+    from cervical_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip(native.unavailable_reason())
+    from PIL import Image
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    msk_old = rng.integers(0, 5, (32, 32)).astype(np.uint8)
+    msk_new = np.full((32, 32), 2, np.uint8)
+    jp = str(tmp_path / "b.jpg")
+    pp = str(tmp_path / "b.png")
+    side = pp + ".rawmask"
+    Image.fromarray(img).save(jp, quality=95)
+    Image.fromarray(msk_old).save(pp)
+    _, l1, f1 = native.load_batch([jp], [pp], (32, 32))
+    assert f1 == 0 and os.path.exists(side)
+    np.testing.assert_array_equal(l1[0], msk_old)
+
+    # regenerate the png with different content, then FORGE the (stale)
+    # sidecar's recorded size to collide with the new png while keeping the
+    # old mtime field — the loader must reject it and decode the new png
+    Image.fromarray(msk_new).save(pp)
+    new_size = os.path.getsize(pp)
+    with open(side, "r+b") as f:
+        f.seek(4)
+        f.write(struct.pack("<I", new_size))
+    _, l2, f2 = native.load_batch([jp], [pp], (32, 32))
+    assert f2 == 0
+    np.testing.assert_array_equal(l2[0], msk_new)
+
+    # control: a forged sidecar matching BOTH size and mtime is served —
+    # proving the mtime mismatch is what rejected the collision above
+    magic = 0x43524D32  # kSidecarMagic "CRM2"
+    hdr = struct.pack("<IIiiq", magic, new_size, 32, 32,
+                      os.stat(pp).st_mtime_ns)
+    with open(side, "wb") as f:
+        f.write(hdr + msk_old.tobytes())
+    _, l3, f3 = native.load_batch([jp], [pp], (32, 32))
+    assert f3 == 0
+    np.testing.assert_array_equal(l3[0], msk_old)

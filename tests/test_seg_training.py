@@ -108,6 +108,25 @@ def test_eval_and_miou(voc_root, tmp_path):
     assert summary["hist"].sum() == len(ids) * 48 * 48
 
 
+def test_eval_miou_ragged_batches_exact_hist(voc_root, tmp_path):
+    """Deliberately ragged eval set on the 8-device mesh: batches of 5 and a
+    13-row cohort are padded with weight-0 rows which must not leak into the
+    confusion counts — the hist sums to exactly N*H*W and is bit-identical
+    to a single-batch evaluation (round-1 VERDICT item 7)."""
+    cfg = _cfg(tmp_path)
+    trainer = SegTrainer(cfg)
+    ids = (read_split(voc_root, "train") + read_split(voc_root, "val"))[:13]
+    assert len(ids) % 8 != 0
+    ds = VOCSegDataset(voc_root, ids, stage_hw=(48, 48))
+    ragged = BatchLoader(ds, 5, shuffle=False, num_workers=1, drop_last=False)
+    summary = trainer.evaluate_miou(ragged)
+    assert summary["hist"].sum() == len(ids) * 48 * 48
+    whole = BatchLoader(ds, len(ids), shuffle=False, num_workers=1,
+                        drop_last=False)
+    np.testing.assert_array_equal(summary["hist"],
+                                  trainer.evaluate_miou(whole)["hist"])
+
+
 def test_batch_sharded_over_mesh(voc_root, tmp_path):
     cfg = _cfg(tmp_path)
     trainer = SegTrainer(cfg)
