@@ -69,6 +69,11 @@ class SegTrainConfig:
     save_period: int = 10
     save_dir: str = "logs"
     eval_period: int = 10
+    # ALSO evaluate through the full inference path (letterbox -> predictor
+    # -> original-resolution mIoU) every eval_period epochs, like the
+    # reference's EvalCallback (utils/callbacks.py:105-200).  Off by
+    # default: MiouHistory already tracks the metric at staged resolution.
+    predictor_eval: bool = False
     seed: int = 11  # train.py:283
     # from-scratch init: "normal" replicates the reference's weights_init
     # (every conv N(0,.02), BN scale N(1,.02) — train.py:313-316); "none"
@@ -76,6 +81,9 @@ class SegTrainConfig:
     weights_init: str = "normal"
     # TPU-native knobs (replace fp16/AMP and DDP/NCCL)
     dtype: str = "bfloat16"
+    # conv lowering for the ASPP/decoder head only: "" = process default
+    # ("lax"), "einsum" = im2col (ops/conv.py; ROADMAP item 2 experiment)
+    head_conv_backend: str = ""
     num_devices: Optional[int] = None  # None = all visible
     eval_batch_size: int = 8
     log_every: int = 50

@@ -56,6 +56,30 @@ class VOCSegDataset:
         self.ids = list(ids)
         self.stage_hw = stage_hw
         self.use_native = use_native
+        self._check_stage_aspect()
+
+    def _check_stage_aspect(self):
+        """Warn once if the source aspect ratio differs from ``stage_hw``.
+
+        Staging uses a plain resize (exact for this dataset's native 512x512
+        images); for other sources it would silently stretch where the
+        reference letterboxes at eval (docs/PARITY.md).  Only the first
+        image's header is read (cheap)."""
+        if not self.ids:
+            return
+        try:
+            with Image.open(self.paths(0)[0]) as im:
+                sw, sh = im.size
+        except Exception:
+            return
+        h, w = self.stage_hw
+        if sh * w != sw * h:
+            import warnings
+            warnings.warn(
+                f"VOCSegDataset: source aspect {sw}x{sh} != stage "
+                f"{w}x{h}; staging stretches (the reference letterboxes "
+                f"only at eval/predict). Exact for same-aspect sources; "
+                f"see docs/PARITY.md.", stacklevel=3)
 
     def __len__(self):
         return len(self.ids)

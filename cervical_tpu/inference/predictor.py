@@ -53,16 +53,26 @@ class SegPredictor:
         # einsum lowering is kept switchable for platforms/programs where
         # the standalone-conv pathology applies.
         self.conv_backend = conv_backend
+        # state enters as an ARGUMENT (not a traced-in constant) so
+        # update_state() — the in-training EvalCallback path — needs no
+        # retrace/recompile between epochs
         self._jit_forward = jax.jit(self._forward)
 
-    def _forward(self, images):
+    def _forward(self, params, batch_stats, images):
         from cervical_tpu.ops.conv import backend_scope
         with backend_scope(self.conv_backend):
             logits = self.model.apply(
-                {"params": self.state.params,
-                 "batch_stats": self.state.batch_stats},
+                {"params": params, "batch_stats": batch_stats},
                 images, train=False)
         return jax.nn.softmax(logits, axis=-1)
+
+    def _run(self, images):
+        return self._jit_forward(self.state.params, self.state.batch_stats,
+                                 images)
+
+    def update_state(self, state):
+        """Swap in new weights (in-training evaluation) without recompiling."""
+        self.state = state
 
     # -- core ---------------------------------------------------------------
     def predict_probs(self, image: np.ndarray) -> np.ndarray:
@@ -74,7 +84,7 @@ class SegPredictor:
         staged = letterbox_image(jnp.asarray(image, jnp.float32), (h, w))
         x = preprocess_input(staged)[None].astype(
             jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32)
-        probs = np.asarray(self._jit_forward(x)[0], np.float32)
+        probs = np.asarray(self._run(x)[0], np.float32)
         nh, nw, top, left = letterbox_params((ih, iw), (h, w))
         probs = probs[top:top + nh, left:left + nw]
         probs = np.asarray(resize_bilinear(jnp.asarray(probs), (ih, iw),
@@ -138,11 +148,11 @@ class SegPredictor:
         dt = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
         xs = [jax.random.normal(k, (batch_size, h, w, 3), dt)
               for k in jax.random.split(jax.random.PRNGKey(0), iters + 1)]
-        np.asarray(self._jit_forward(xs[-1])[0, 0, 0])  # warmup/compile
+        np.asarray(self._run(xs[-1])[0, 0, 0])  # warmup/compile
         t0 = time.time()
         out = None
         for i in range(iters):
-            out = self._jit_forward(xs[i])
+            out = self._run(xs[i])
         np.asarray(out.sum())  # force completion of the pipelined calls
         return batch_size * iters / (time.time() - t0)
 
@@ -154,7 +164,10 @@ class SegPredictor:
         h, w = self.cfg.data.input_shape
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
         spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), dtype)
-        exported = jax_export.export(jax.jit(self._forward))(spec)
+        # weights are embedded as constants in the exported blob (serving)
+        fwd = lambda x: self._forward(self.state.params,
+                                      self.state.batch_stats, x)
+        exported = jax_export.export(jax.jit(fwd))(spec)
         blob = exported.serialize()
         with open(path, "wb") as f:
             f.write(blob)
@@ -169,7 +182,9 @@ class SegPredictor:
 
         h, w = self.cfg.data.input_shape
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
-        fwd_tf = jax2tf.convert(self._forward, with_gradient=False)
+        fwd = lambda x: self._forward(self.state.params,
+                                       self.state.batch_stats, x)
+        fwd_tf = jax2tf.convert(fwd, with_gradient=False)
         module = tf.Module()
         module.f = tf.function(
             fwd_tf,

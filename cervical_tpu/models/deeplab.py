@@ -32,13 +32,14 @@ class _ConvBNReLU(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     dtype: Optional[jnp.dtype] = None
+    backend: Optional[str] = None  # conv lowering override (ops/conv.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = self.dilation * (self.kernel // 2)
         x = Conv(self.features, (self.kernel, self.kernel), padding=pad,
                     kernel_dilation=self.dilation, use_bias=self.use_bias,
-                    dtype=self.dtype, name="conv")(x)
+                    dtype=self.dtype, backend=self.backend, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, **_BN,
                          dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
@@ -55,23 +56,28 @@ class ASPP(nn.Module):
     features: int = 256
     rate: int = 1
     dtype: Optional[jnp.dtype] = None
+    backend: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        b1 = _ConvBNReLU(self.features, 1, dtype=self.dtype, name="branch1")(x, train)
+        be = self.backend
+        b1 = _ConvBNReLU(self.features, 1, dtype=self.dtype, backend=be,
+                         name="branch1")(x, train)
         b2 = _ConvBNReLU(self.features, 3, 6 * self.rate, dtype=self.dtype,
-                         name="branch2")(x, train)
+                         backend=be, name="branch2")(x, train)
         b3 = _ConvBNReLU(self.features, 3, 12 * self.rate, dtype=self.dtype,
-                         name="branch3")(x, train)
+                         backend=be, name="branch3")(x, train)
         b4 = _ConvBNReLU(self.features, 3, 18 * self.rate, dtype=self.dtype,
-                         name="branch4")(x, train)
+                         backend=be, name="branch4")(x, train)
 
         g = jnp.mean(x, axis=(1, 2), keepdims=True)
-        g = _ConvBNReLU(self.features, 1, dtype=self.dtype, name="branch5")(g, train)
+        g = _ConvBNReLU(self.features, 1, dtype=self.dtype, backend=be,
+                        name="branch5")(g, train)
         g = jnp.broadcast_to(g, b1.shape)
 
         y = jnp.concatenate([b1, b2, b3, b4, g], axis=-1)
-        return _ConvBNReLU(self.features, 1, dtype=self.dtype, name="fuse")(y, train)
+        return _ConvBNReLU(self.features, 1, dtype=self.dtype, backend=be,
+                           name="fuse")(y, train)
 
 
 class DeepLab(nn.Module):
@@ -85,6 +91,9 @@ class DeepLab(nn.Module):
     backbone: str = "xception"  # or "mobilenet"
     downsample_factor: int = 16
     dtype: Optional[jnp.dtype] = None
+    # conv-lowering override for the ASPP/decoder head only (backbone keeps
+    # the process default) — the im2col-vs-lax experiment of ROADMAP item 2
+    head_conv_backend: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, freeze_backbone: bool = False):
@@ -113,17 +122,22 @@ class DeepLab(nn.Module):
             low = jax.lax.stop_gradient(low)
             deep = jax.lax.stop_gradient(deep)
 
+        be = self.head_conv_backend
         deep = ASPP(256, rate=16 // self.downsample_factor, dtype=self.dtype,
-                    name="aspp")(deep, train)
-        low = _ConvBNReLU(48, 1, dtype=self.dtype, name="shortcut")(low, train)
+                    backend=be, name="aspp")(deep, train)
+        low = _ConvBNReLU(48, 1, dtype=self.dtype, backend=be,
+                          name="shortcut")(low, train)
 
         deep = resize_bilinear(deep, (low.shape[1], low.shape[2]),
                                align_corners=True)
         y = jnp.concatenate([deep, low], axis=-1)
-        y = _ConvBNReLU(256, 3, dtype=self.dtype, name="cat_conv1")(y, train)
+        y = _ConvBNReLU(256, 3, dtype=self.dtype, backend=be,
+                        name="cat_conv1")(y, train)
         y = nn.Dropout(0.5)(y, deterministic=not train)
-        y = _ConvBNReLU(256, 3, dtype=self.dtype, name="cat_conv2")(y, train)
+        y = _ConvBNReLU(256, 3, dtype=self.dtype, backend=be,
+                        name="cat_conv2")(y, train)
         y = nn.Dropout(0.1)(y, deterministic=not train)
-        y = Conv(self.num_classes, (1, 1), dtype=self.dtype, name="cls_conv")(y)
+        y = Conv(self.num_classes, (1, 1), dtype=self.dtype, backend=be,
+                    name="cls_conv")(y)
         y = resize_bilinear(y.astype(jnp.float32), (h, w), align_corners=True)
         return y

@@ -127,6 +127,64 @@ class FusionHistory:
         plt.close("all")
 
 
+class PredictorMiouCallback:
+    """In-training evaluation through the full INFERENCE path.
+
+    Reference ``EvalCallback`` (utils/callbacks.py:105-151,163-200): every
+    ``period`` epochs, run the predictor (letterbox -> forward ->
+    un-letterbox at the ORIGINAL image resolution) over the val images and
+    log that mIoU — unlike :class:`MiouHistory`, which reuses the training
+    eval step at the staged resolution.  The reference round-trips
+    temporary PNGs; the confusion matrix here accumulates in memory.
+    """
+
+    def __init__(self, log_dir: str, dataset, period: int = 10,
+                 max_images: Optional[int] = None):
+        self.log_dir = log_dir
+        self.ds = dataset
+        self.period = period
+        self.max_images = max_images
+        os.makedirs(log_dir, exist_ok=True)
+        self.epochs = [0]
+        self.mious = [0.0]
+        self._predictor = None
+
+    def should_eval(self, epoch: int) -> bool:
+        return (epoch + 1) % self.period == 0
+
+    def run(self, cfg, state, epoch: int, log=print) -> float:
+        import numpy as np
+        from PIL import Image
+        from cervical_tpu import metrics as M
+        from cervical_tpu.data.voc import cvt_rgb
+        from cervical_tpu.inference.predictor import SegPredictor
+
+        if self._predictor is None:
+            self._predictor = SegPredictor(cfg, state)
+        else:
+            self._predictor.update_state(state)
+        nc = cfg.data.num_classes
+        n = len(self.ds)
+        if self.max_images is not None:
+            n = min(n, self.max_images)
+        hist = np.zeros((nc, nc), np.int64)
+        for i in range(n):
+            jpg_path, png_path = self.ds.paths(i)
+            img = np.asarray(cvt_rgb(Image.open(jpg_path)), np.uint8)
+            lbl = np.asarray(Image.open(png_path), np.uint8)
+            mask = self._predictor.get_miou_png(img)
+            hist += M.fast_hist(lbl, mask, nc)
+        miou = M.summarize_hist(hist)["miou"]
+        self.epochs.append(epoch + 1)
+        self.mious.append(miou)
+        with open(os.path.join(self.log_dir,
+                               "epoch_miou_predictor.txt"), "a") as f:
+            f.write(f"{miou}\n")
+        log(f"predictor-path mIoU (original resolution, {n} images): "
+            f"{miou:.4f}")
+        return miou
+
+
 class MiouHistory:
     """Track periodic mIoU evals: ``epoch_miou.txt`` + curve
     (callbacks.py:176-197)."""

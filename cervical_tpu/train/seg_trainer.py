@@ -59,7 +59,8 @@ def _dtype(cfg: SegTrainConfig):
 
 def build_model(cfg: SegTrainConfig) -> DeepLab:
     return DeepLab(num_classes=cfg.data.num_classes, backbone=cfg.backbone,
-                   downsample_factor=cfg.downsample_factor, dtype=_dtype(cfg))
+                   downsample_factor=cfg.downsample_factor, dtype=_dtype(cfg),
+                   head_conv_backend=cfg.head_conv_backend or None)
 
 
 def make_optimizer(cfg: SegTrainConfig):
@@ -361,7 +362,8 @@ class SegTrainer:
         defaults to :class:`cervical_tpu.data.voc.BatchLoader`.
         """
         from cervical_tpu.data.voc import BatchLoader
-        from cervical_tpu.train.callbacks import LossHistory, MiouHistory
+        from cervical_tpu.train.callbacks import (LossHistory, MiouHistory,
+                                                  PredictorMiouCallback)
         from cervical_tpu.train.checkpoints import CheckpointManager
 
         cfg = self.cfg
@@ -374,6 +376,9 @@ class SegTrainer:
 
         loss_hist = LossHistory(cfg.save_dir)
         miou_hist = MiouHistory(cfg.save_dir, cfg.eval_period)
+        pred_cb = (PredictorMiouCallback(cfg.save_dir, val_ds,
+                                         cfg.eval_period)
+                   if cfg.predictor_eval else None)
         ckpt = CheckpointManager(cfg.save_dir, cfg.save_period)
 
         frozen = cfg.freeze_train
@@ -400,6 +405,9 @@ class SegTrainer:
                 miou = self.evaluate_miou(val_loader)["miou"]
                 miou_hist.append(epoch, miou)
                 history["miou"].append((epoch, miou))
+            if pred_cb is not None and pred_cb.should_eval(epoch):
+                history.setdefault("predictor_miou", []).append(
+                    (epoch, pred_cb.run(cfg, self.state, epoch, log=log)))
             ckpt.on_epoch_end(epoch, self.state, res.train_loss, res.val_loss,
                               total_epochs)
             log(f"Epoch {epoch + 1}/{total_epochs} lr={lr:.2e} "

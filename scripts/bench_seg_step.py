@@ -24,10 +24,19 @@ def bench(backend: str, backbone="mobilenet", batch=8, size=512, iters=8, warmup
     from cervical_tpu.train import seg_trainer as T
     from cervical_tpu.ops import augment as A
 
-    C.set_default_backend(backend)
+    # "mixed" = lax backbone + im2col ASPP/decoder head (ROADMAP item 2:
+    # the decoder's dense 3x3 convs are the candidates for the einsum
+    # lowering; the backbone stays on the measured-good lax path)
+    head = ""
+    if backend == "mixed":
+        C.set_default_backend("lax")
+        head = "einsum"
+    else:
+        C.set_default_backend(backend)
     cfg = SegTrainConfig(data=SegDataConfig(input_shape=(size, size),
                                             num_classes=5),
-                         backbone=backbone, unfreeze_batch_size=batch)
+                         backbone=backbone, unfreeze_batch_size=batch,
+                         head_conv_backend=head)
     state = T.create_state(cfg, jax.random.PRNGKey(0))
     step = T.make_train_step(cfg, T.build_model(cfg), T.make_optimizer(cfg),
                              frozen=frozen)

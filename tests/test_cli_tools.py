@@ -4,6 +4,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 from PIL import Image
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -48,6 +49,7 @@ def test_prepare_dataset_split_and_audit(tmp_path, capsys):
     assert (sets / "train.txt").exists()
 
 
+@pytest.mark.slow
 def test_train_fusion_cli_on_synthetic(tmp_path, capsys):
     from scripts.train_fusion import main
     from cervical_tpu.data.fusion_data import make_synthetic_fusion, save_npz

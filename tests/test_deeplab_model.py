@@ -10,6 +10,7 @@ from cervical_tpu.models.deeplab import DeepLab
 from cervical_tpu.models.backbones import MobileNetV2Backbone, XceptionBackbone
 
 
+@pytest.mark.slow
 def test_mobilenet_backbone_feature_shapes():
     bb = MobileNetV2Backbone(downsample_factor=16)
     x = jnp.zeros((1, 64, 64, 3))
@@ -48,6 +49,7 @@ def test_deeplab_logits_shape(backbone):
     assert y.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_deeplab_train_mode_updates_batch_stats():
     model = DeepLab(num_classes=5, backbone="mobilenet")
     x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(np.float32))
@@ -60,6 +62,7 @@ def test_deeplab_train_mode_updates_batch_stats():
     assert np.abs(np.asarray(leaf)).sum() > 0
 
 
+@pytest.mark.slow
 def test_deeplab_jit_forward():
     model = DeepLab(num_classes=5, backbone="mobilenet")
     x = jnp.zeros((1, 32, 32, 3))
@@ -68,6 +71,7 @@ def test_deeplab_jit_forward():
     assert y.shape == (1, 32, 32, 5)
 
 
+@pytest.mark.slow
 def test_deeplab_bf16_compute():
     model = DeepLab(num_classes=5, backbone="mobilenet", dtype=jnp.bfloat16)
     x = jnp.zeros((1, 32, 32, 3), jnp.bfloat16)

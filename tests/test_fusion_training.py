@@ -47,6 +47,7 @@ def test_npz_roundtrip(tmp_path):
     assert back["ids"] == ds["ids"]
 
 
+@pytest.mark.slow
 def test_fusion_training_learns():
     cfg = FusionTrainConfig(epochs=6, lr=5e-4, batch_size=16,
                             epoch0_no_step=False, in_features=256)
@@ -67,6 +68,7 @@ def test_fusion_training_learns():
     assert {"precision", "recall", "f1", "tp", "fp"} <= set(final)
 
 
+@pytest.mark.slow
 def test_epoch0_no_step_keeps_params():
     cfg = FusionTrainConfig(epochs=1, epoch0_no_step=True)
     ds = make_synthetic_fusion(num_patients=8, feature_dim=64)
@@ -115,6 +117,7 @@ def test_cross_validate_two_modal():
     assert 0.0 <= out["mean_test_acc"] <= 1.0
 
 
+@pytest.mark.slow
 def test_epoch_report_keys_match_reference_printout():
     """The per-epoch train report must carry every metric the reference's
     train_a_epoch computes (my_train(full).py:386-408): per-head accuracies,
@@ -142,6 +145,7 @@ def test_epoch_report_keys_match_reference_printout():
     assert expected <= set(pred)
 
 
+@pytest.mark.slow
 def test_cross_validate_per_epoch_test_trajectory():
     """per_epoch_test=True records the reference's per-epoch test evaluation
     (my_train(full).py:538-539) without changing best-by-val selection."""

@@ -50,6 +50,7 @@ def test_resize_and_split():
     assert patches.shape == (16, 32, 32, 3)
 
 
+@pytest.mark.slow
 def test_patch_featurizer_small():
     f = G.PatchFeaturizer(depth=50, out_features=32, patch_size=16)
     rng = np.random.default_rng(1)

@@ -1,6 +1,7 @@
 """Determinism (SURVEY.md §5.2) + device-prefetch pipeline tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -18,6 +19,7 @@ def _cfg():
         backbone="mobilenet", dtype="float32", save_dir="/tmp/det_logs")
 
 
+@pytest.mark.slow
 def test_train_step_bit_deterministic():
     """Same PRNG key + same batch => bit-identical params after a step
     (the reference relies on cudnn.deterministic; JAX gives this for free
@@ -43,6 +45,7 @@ def test_train_step_bit_deterministic():
         np.testing.assert_array_equal(a, b_)
 
 
+@pytest.mark.slow
 def test_fusion_step_bit_deterministic():
     from cervical_tpu.config import FusionTrainConfig
     from cervical_tpu.data.fusion_data import make_synthetic_fusion

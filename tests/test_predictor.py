@@ -66,3 +66,45 @@ def test_export_savedmodel(predictor, tmp_path):
     m = tf.saved_model.load(path)
     out = m.f(tf.zeros((1, 32, 32, 3)))
     assert tuple(out.shape) == (1, 32, 32, 5)
+
+
+def test_update_state_no_stale_weights(predictor):
+    """update_state must actually change predictions (state is a jit
+    argument, not a traced-in constant)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+    p1 = predictor.predict_probs(img)
+    state2 = predictor.state.replace(
+        params=jax.tree_util.tree_map(
+            lambda x: x + 0.05 * (x != 0), predictor.state.params))
+    old_state = predictor.state
+    predictor.update_state(state2)
+    p2 = predictor.predict_probs(img)
+    predictor.update_state(old_state)
+    assert np.abs(p1 - p2).max() > 1e-6
+
+
+def test_predictor_miou_callback(tmp_path):
+    """EvalCallback equivalent: full inference path at original resolution
+    every period epochs (utils/callbacks.py:105-200)."""
+    import os
+    from cervical_tpu.data.voc import VOCSegDataset, make_synthetic_voc, read_split
+    from cervical_tpu.train.callbacks import PredictorMiouCallback
+
+    root = make_synthetic_voc(str(tmp_path / "voc"), num_images=6, size=32)
+    cfg = SegTrainConfig(
+        data=SegDataConfig(input_shape=(32, 32), num_classes=5),
+        backbone="mobilenet", dtype="float32",
+        save_dir=str(tmp_path / "logs"), predictor_eval=True, eval_period=2)
+    trainer = SegTrainer(cfg)
+    ds = VOCSegDataset(root, read_split(root, "val"), stage_hw=(32, 32))
+    cb = PredictorMiouCallback(cfg.save_dir, ds, period=2)
+    assert not cb.should_eval(0) and cb.should_eval(1)
+    miou = cb.run(cfg, trainer.state, 1, log=lambda *a: None)
+    assert 0.0 <= miou <= 1.0
+    assert os.path.exists(os.path.join(cfg.save_dir,
+                                       "epoch_miou_predictor.txt"))
+    # second run reuses the cached predictor with refreshed weights
+    miou2 = cb.run(cfg, trainer.state, 3, log=lambda *a: None)
+    assert 0.0 <= miou2 <= 1.0

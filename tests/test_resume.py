@@ -2,6 +2,7 @@
 training trajectory (preemption-safety, SURVEY.md §5.3/§5.4)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -12,6 +13,7 @@ from cervical_tpu.ops import augment as A
 from cervical_tpu.parallel import shard_batch
 
 
+@pytest.mark.slow
 def test_resume_reproduces_trajectory(tmp_path):
     cfg = SegTrainConfig(
         data=SegDataConfig(input_shape=(32, 32), num_classes=5),

@@ -45,6 +45,20 @@ def test_loader_shapes(voc_root):
     assert lbls.shape == (4, 48, 48) and set(np.unique(lbls)) <= set(range(5))
 
 
+def test_dataset_warns_on_aspect_mismatch(voc_root):
+    """Staging stretches non-native aspects (the reference letterboxes only
+    at eval) — the dataset must say so instead of silently distorting."""
+    import warnings
+    ids = read_split(voc_root, "train")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        VOCSegDataset(voc_root, ids, stage_hw=(48, 48))
+        assert not rec
+        VOCSegDataset(voc_root, ids, stage_hw=(48, 96))
+        assert rec and "aspect" in str(rec[0].message)
+
+
+@pytest.mark.slow
 def test_training_reduces_loss(voc_root, tmp_path):
     cfg = _cfg(tmp_path)
     trainer = SegTrainer(cfg)
@@ -69,6 +83,7 @@ def test_training_reduces_loss(voc_root, tmp_path):
     assert np.mean(losses[-2:]) < np.mean(losses[:2]) * 0.85, losses
 
 
+@pytest.mark.slow
 def test_frozen_backbone_params_stay_fixed(voc_root, tmp_path):
     cfg = _cfg(tmp_path)
     trainer = SegTrainer(cfg)
@@ -155,6 +170,7 @@ def test_checkpoint_roundtrip(voc_root, tmp_path):
     assert extra2["val_loss"] == 2.0
 
 
+@pytest.mark.slow
 def test_frozen_step_forward_matches_unfrozen(voc_root, tmp_path):
     """freeze_backbone only prunes the backward pass (stop_gradient at the
     backbone boundary) — the loss from the same state/batch/rng must be
@@ -181,6 +197,7 @@ def test_frozen_step_forward_matches_unfrozen(voc_root, tmp_path):
                                float(m_unfrozen["f_score"]), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_frozen_backbone_bitfrozen_under_weight_decay(voc_root, tmp_path):
     """Weight decay / momentum must not move frozen params either — the
     reference's requires_grad=False freeze leaves them bit-identical
