@@ -18,6 +18,18 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# trace-time backend switch (mirrors ops/conv.py): "shift" = the 9-tap
+# slice ladder below; "lax" = XLA grouped conv (full-program A/B probes —
+# standalone-op measurements mislead on the target platform, docs/PLATFORM.md)
+_DEFAULT_BACKEND = "shift"
+
+
+def set_default_backend(name: str) -> None:
+    global _DEFAULT_BACKEND
+    if name not in ("shift", "lax"):
+        raise ValueError(f"unknown depthwise backend {name!r}")
+    _DEFAULT_BACKEND = name
+
 
 def depthwise_conv3x3(x, kernel, stride: int = 1, dilation: int = 1,
                       padding: int | None = None):
@@ -29,6 +41,9 @@ def depthwise_conv3x3(x, kernel, stride: int = 1, dilation: int = 1,
     """
     kh, kw, one, c = kernel.shape
     assert (kh, kw, one) == (3, 3, 1), kernel.shape
+    if _DEFAULT_BACKEND == "lax":
+        return depthwise_conv3x3_reference(x, kernel, stride, dilation,
+                                           padding)
     if padding is None:
         padding = dilation
     b, h, w, cx = x.shape

@@ -182,7 +182,15 @@ def seg_loss_fn(cfg: SegTrainConfig, logits, labels, one_hot,
 
 def make_train_step(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
     """Returns jit(state, images_u8, labels_u8, aug_params, lr, rng) ->
-    (state, metrics).  Augmentation runs inside the step (fused)."""
+    (state, metrics).  Augmentation runs inside the step (fused).
+
+    ``aug_params=None`` (the production path) samples the augmentation
+    parameters INSIDE the jit from ``rng``: the eager
+    ``sample_augment_params`` chain is ~20 host-dispatched micro-ops, which
+    on the target platform costs more than the whole forward pass
+    (docs/PLATFORM.md round-2 probes).  Explicit params stay supported for
+    oracle/parity tests.
+    """
     h, w = cfg.data.input_shape
     nc = cfg.data.num_classes
 
@@ -195,6 +203,13 @@ def make_train_step(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
         # rotation runs on a fixed batch prefix, blur on a fixed suffix
         # (marginals preserved by the loader shuffle — docs/PARITY.md).
         cap = max(1, images.shape[0] // 4)
+        if aug_params is None:
+            rng, pk = jax.random.split(rng)
+            aug_params = aug_ops.sample_augment_params(
+                pk, images.shape[0], jitter=cfg.data.jitter,
+                scale_range=(cfg.data.scale_min, cfg.data.scale_max),
+                hue=cfg.data.hue, sat=cfg.data.sat, val=cfg.data.val,
+                rotate_prefix=cap, blur_suffix=cap)
         images, labels = augment_batch_einsum(
             images, labels, aug_params, (h, w), letterbox=False,
             rotate_capacity=cap, blur_capacity=cap,
@@ -326,30 +341,49 @@ class SegTrainer:
         t0 = time.time()
         step_fn = self._train_step(frozen)
         tl, tf, n = 0.0, 0.0, 0
+        # Steps are dispatched ahead of their metric fetches: each float()
+        # costs a ~30-70 ms host round-trip on the target platform
+        # (docs/PLATFORM.md), so a bounded window of un-fetched step metrics
+        # keeps the device queue full (the torch loop's per-step .item()
+        # sync, utils_fit.py:117-121, is the anti-pattern here).
+        depth = max(1, self.cfg.pipeline_depth)
+        pending = []
+
+        def drain(limit):
+            nonlocal tl, tf, n
+            while len(pending) > limit:
+                m = pending.pop(0)
+                tl += float(m["loss"])
+                tf += float(m["f_score"])
+                n += 1
+
         # host->device uploads overlap compute (and each process feeds its
-        # slice of the global batch under multihost) — data/pipeline.py
+        # slice of the global batch under multihost) — data/pipeline.py.
+        # aug params are sampled INSIDE the jitted step (make_train_step):
+        # one dispatch per step instead of ~20 eager micro-dispatches.
         for images, labels in device_prefetch(train_loader, self.mesh):
-            self.rng, pk, dk = jax.random.split(self.rng, 3)
-            params_aug = aug_ops.sample_augment_params(
-                pk, images.shape[0], jitter=self.cfg.data.jitter,
-                scale_range=(self.cfg.data.scale_min, self.cfg.data.scale_max),
-                hue=self.cfg.data.hue, sat=self.cfg.data.sat,
-                val=self.cfg.data.val,
-                rotate_prefix=max(1, images.shape[0] // 4),
-                blur_suffix=max(1, images.shape[0] // 4))
+            self.rng, dk = jax.random.split(self.rng)
             self.state, m = step_fn(self.state, images, labels,
-                                    params_aug, jnp.asarray(lr), dk)
-            tl += float(m["loss"])
-            tf += float(m["f_score"])
-            n += 1
+                                    None, jnp.asarray(lr), dk)
+            pending.append(m)
+            drain(depth - 1)
+        drain(0)
         vl, vf, vn = 0.0, 0.0, 0
         eval_fn = self._eval_step()
+
+        def edrain(limit):
+            nonlocal vl, vf, vn
+            while len(pending) > limit:
+                m = pending.pop(0)
+                vl += float(m["loss"])
+                vf += float(m["f_score"])
+                vn += 1
+
         for images, labels, w in device_prefetch(val_loader, self.mesh,
                                                  with_weights=True):
-            m = eval_fn(self.state, images, labels, w)
-            vl += float(m["loss"])
-            vf += float(m["f_score"])
-            vn += 1
+            pending.append(eval_fn(self.state, images, labels, w))
+            edrain(depth - 1)
+        edrain(0)
         return EpochResult(tl / max(n, 1), vl / max(vn, 1), tf / max(n, 1),
                            vf / max(vn, 1), time.time() - t0)
 
@@ -427,9 +461,15 @@ class SegTrainer:
         nc = num_classes or self.cfg.data.num_classes
         hist = np.zeros((nc, nc), np.int64)
         eval_fn = self._eval_step()
+        # fetch behind a window so eval batches pipeline (see run_epoch)
+        depth = max(1, self.cfg.pipeline_depth)
+        pending = []
         for images, labels, w in host_local_batches(loader, self.mesh,
                                                     with_weights=True):
             batch = shard_batch(self.mesh, (images, labels, w))
-            m = eval_fn(self.state, batch[0], batch[1], batch[2])
+            pending.append(eval_fn(self.state, batch[0], batch[1], batch[2]))
+            while len(pending) >= depth:
+                hist += np.asarray(pending.pop(0)["hist"], np.int64)
+        for m in pending:
             hist += np.asarray(m["hist"], np.int64)
         return summarize_hist(hist)

@@ -22,15 +22,21 @@ def bench(backend: str, backbone="mobilenet", batch=8, size=512, iters=8, warmup
     from cervical_tpu.ops import conv as C
     from cervical_tpu.config import SegTrainConfig, SegDataConfig
     from cervical_tpu.train import seg_trainer as T
-    from cervical_tpu.ops import augment as A
+
+    from cervical_tpu.ops import depthwise as DW
 
     # "mixed" = lax backbone + im2col ASPP/decoder head (ROADMAP item 2:
     # the decoder's dense 3x3 convs are the candidates for the einsum
-    # lowering; the backbone stays on the measured-good lax path)
+    # lowering; the backbone stays on the measured-good lax path).
+    # "dwlax" = lax convs + XLA grouped-conv depthwise (vs the default
+    # 9-tap shift ladder, ops/depthwise.py).
     head = ""
+    DW.set_default_backend("lax" if backend == "dwlax" else "shift")
     if backend == "mixed":
         C.set_default_backend("lax")
         head = "einsum"
+    elif backend == "dwlax":
+        C.set_default_backend("lax")
     else:
         C.set_default_backend(backend)
     cfg = SegTrainConfig(data=SegDataConfig(input_shape=(size, size),
@@ -45,13 +51,12 @@ def bench(backend: str, backbone="mobilenet", batch=8, size=512, iters=8, warmup
     images = jnp.asarray(rng.integers(0, 256, (batch, size, size, 3)),
                          jnp.uint8)
     labels = jnp.asarray(rng.integers(0, 5, (batch, size, size)), jnp.uint8)
-    cap = max(1, batch // 4)
+
 
     def run(i):
+        # aug_params=None: the production path (sampling inside the jit)
         key = jax.random.PRNGKey(seed * 1000 + i)
-        params = A.sample_augment_params(key, batch, rotate_prefix=cap,
-                                         blur_suffix=cap)
-        return step(state, images, labels, params, jnp.float32(1e-4), key)
+        return step(state, images, labels, None, jnp.float32(1e-4), key)
 
     t0 = time.perf_counter()
     out_state, metrics = run(0)

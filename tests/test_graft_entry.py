@@ -11,7 +11,6 @@ def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
 
 
-@pytest.mark.slow
 def test_entry_compiles_eval_shape():
     import __graft_entry__ as ge
     fn, args = ge.entry()
