@@ -7,11 +7,17 @@ jitter, conditional 5x5 Gaussian blur, normalization, plus the paired
 nearest-neighbor label warp — replacing the reference's per-image PIL/cv2
 python loop (Segmentation/deeplabv3+/utils/dataloader.py:55-154).
 
-Implementation under test: the einsum/barrel warp backend
-(cervical_tpu/ops/warp_xla.py) with device-side parameter sampling, the
-rotating samples packed into a fixed prefix, the 4 uint8 planes packed into
-one uint32 lane through the 2-shear rotation ladder, and the 5x5 blur as
-banded-matrix einsums on a fixed suffix.
+Implementation under test: the Pallas/Mosaic warp backend
+(cervical_tpu/ops/pallas_warp.py) — per-image MXU-matmul resample, exact
+in-VMEM Paeth 3-shear rotation, fused photometric kernel — with
+device-side parameter sampling.  Round 2 re-opened this backend after
+scripts/probe_pallas.py showed the platform's Mosaic compute at XLA
+parity (round 1 measured it ~40x slow); ABAB-interleaved against the
+einsum/barrel path (scripts/bench_warp_variants.py `pallas` vs
+`two_shear`) it runs 16.8-17.0k vs 10.3k img/s — 1.64x — while rotating
+EVERY image with the exact 3-shear (no capacity cap, no 2-shear
+approximation).  The einsum path stays as the fallback
+(`CERVICAL_BENCH_BACKEND=einsum`).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -32,8 +38,13 @@ def bench_augmentation(batch=1024, size=512, iters=12, windows=3, warmup=6):
     # pipelined dispatches and report the best.  Windows are long (12
     # dispatches) so the one blocking round-trip per window amortizes like
     # the continuously-pipelined training loop it stands in for.
+    import os
+
     from cervical_tpu.ops import augment as A
     from cervical_tpu.ops import warp_xla as WX
+    from cervical_tpu.ops import pallas_warp as PW
+
+    backend = os.environ.get("CERVICAL_BENCH_BACKEND", "pallas")
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 256, (batch, size, size, 3)), jnp.uint8)
@@ -44,9 +55,14 @@ def bench_augmentation(batch=1024, size=512, iters=12, windows=3, warmup=6):
     def pipeline(images, labels, key):
         # rotating samples occupy a fixed prefix and blurred samples a fixed
         # suffix (the loader shuffles batch contents, so per-image marginals
-        # stay 0.25) — only those slices pay for the 3-shear rotation / blur
+        # stay 0.25) — the einsum backend exploits this with capacity
+        # slicing; the pallas kernels rotate every image exactly and are
+        # still faster
         params = A.sample_augment_params(key, batch, rotate_prefix=capacity,
                                          blur_suffix=capacity)
+        if backend == "pallas":
+            return PW.augment_batch_pallas(images, labels, params,
+                                           (size, size))
         return WX.augment_batch_einsum(images, labels, params, (size, size),
                                        rotate_capacity=capacity,
                                        blur_capacity=capacity,

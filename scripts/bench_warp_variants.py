@@ -58,6 +58,29 @@ def full_pipeline(batch, size, two_shear):
     return batch / dt
 
 
+def full_pipeline_pallas(batch, size):
+    # same sampling protocol as ``full_pipeline`` (capacity prefix/suffix),
+    # but through the Mosaic kernels (ops/pallas_warp.py) — re-opened by
+    # scripts/probe_pallas.py showing in-kernel dot at XLA parity (round 1
+    # measured it ~40x slow, which had parked these backends)
+    from cervical_tpu.ops import augment as A
+    from cervical_tpu.ops import pallas_warp as PW
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (batch, size, size, 3)), jnp.uint8)
+    labels = jnp.asarray(rng.integers(0, 5, (batch, size, size)), jnp.uint8)
+    cap = batch // 4
+
+    @jax.jit
+    def pipe(images, labels, key):
+        params = A.sample_augment_params(key, batch, rotate_prefix=cap,
+                                         blur_suffix=cap)
+        return PW.augment_batch_pallas(images, labels, params, (size, size))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 256)
+    dt, _ = timed(pipe, lambda i: (images, labels, keys[i % 256]))
+    return batch / dt
+
+
 def rotation_only(batch, size, mode):
     from cervical_tpu.ops import augment as A
     from cervical_tpu.ops import warp_xla as WX
@@ -100,6 +123,10 @@ def main():
             ips = full_pipeline(1024, 512, True)
         elif v == "b2048":
             ips = full_pipeline(2048, 512, True)
+        elif v == "pallas":
+            ips = full_pipeline_pallas(1024, 512)
+        elif v == "pallas256":
+            ips = full_pipeline_pallas(256, 512)
         elif v == "rot_old":
             ips = rotation_only(256, 512, "old")
         elif v == "rot_packed":

@@ -114,3 +114,24 @@ def test_nonsquare_source_letterbox():
     assert np.abs(got[bar] - 128.0).max() < 1.0
     d = np.abs(got - ref)
     assert d.mean() < 2.0
+
+
+def test_full_params_matches_einsum_backend():
+    """Full stochastic params (scale+flip+paste+rotation+HSV+blur) — the
+    pallas path must track the production einsum backend (itself golden-
+    tested against the oracle) tightly: both implement the exact Paeth
+    3-shear, so residuals are bf16/interp-path noise at region edges.
+    This is the bench.py headline configuration (round-2 promotion)."""
+    from cervical_tpu.ops import warp_xla as WX
+    images, labels = _data(5)
+    params = A.sample_augment_params(jax.random.PRNGKey(3), B,
+                                     rotate_prefix=B, blur_suffix=B)
+    ei, el = WX.augment_batch_einsum(images, labels, params, (S, S),
+                                     rotate_capacity=0, blur_capacity=0,
+                                     two_shear=False, normalized=False)
+    pi, pl = PW.augment_batch_pallas(images, labels, params, (S, S),
+                                     interpret=True, normalized=False)
+    d = np.abs(np.asarray(ei, np.float32) - np.asarray(pi, np.float32))
+    assert d.mean() < 1.0
+    assert (d > 4.0).mean() < 0.01
+    assert (np.asarray(el) != np.asarray(pl)).mean() < 0.01
