@@ -1,16 +1,21 @@
-"""Shift-based depthwise 3x3 convolution.
+"""Depthwise 3x3 convolution: XLA grouped conv (default) or 9-tap shift ladder.
 
-On the target platform, XLA's ``conv_general_dilated`` with
-``feature_group_count=C`` executes ~10x below HBM bandwidth (measured
-57 GB/s for a bandwidth-bound op; see CLAUDE.md).  A depthwise 3x3 is just a
-weighted sum of 9 shifted copies of the input, which XLA fuses into fast
-sliced elementwise work:
+Round-1 standalone measurements showed XLA's ``conv_general_dilated`` with
+``feature_group_count=C`` ~10x slower than a 9-tap shifted-slice ladder —
+but that was the dispatch-bound standalone-program artifact
+(docs/PLATFORM.md: every program execution carries a fixed ~28 ms
+serialized cost).  The round-2 FULL-STEP ABAB
+(`scripts/bench_seg_step.py lax:xception vs dwlax:xception`) reversed it:
+grouped-lax depthwise runs the whole xception 512² b8 train step in
+**112 ms vs 181 ms** with the shift ladder (1.62x) — the ladder's 9
+slice+multiply passes (and their backward) were the step's largest single
+cost.  Default is now "lax"; the shift formulation stays switchable for
+toolchains where grouped convs genuinely lower badly.
 
     y[b, i, j, c] = sum_{dy,dx} w[dy, dx, c] * x[b, i*s + dy*d - p, j*s + dx*d - p, c]
 
-Supports stride 1/2, dilation, SAME/VALID-style padding via explicit pad, and
-is fully differentiable (autodiff turns shifts into shifts).  Used by the
-Xception / MobileNetV2 backbones in place of grouped convs.
+Both support stride 1/2, dilation, SAME/VALID-style padding via explicit
+pad, and full autodiff.  Used by the Xception / MobileNetV2 backbones.
 """
 
 from __future__ import annotations
@@ -18,10 +23,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# trace-time backend switch (mirrors ops/conv.py): "shift" = the 9-tap
-# slice ladder below; "lax" = XLA grouped conv (full-program A/B probes —
-# standalone-op measurements mislead on the target platform, docs/PLATFORM.md)
-_DEFAULT_BACKEND = "shift"
+# trace-time backend switch (mirrors ops/conv.py): "lax" = XLA grouped
+# conv (default; wins the full-program ABAB by 1.62x — see module
+# docstring); "shift" = the 9-tap slice ladder below
+_DEFAULT_BACKEND = "lax"
 
 
 def set_default_backend(name: str) -> None:
@@ -71,7 +76,8 @@ def depthwise_conv3x3(x, kernel, stride: int = 1, dilation: int = 1,
 
 def depthwise_conv3x3_reference(x, kernel, stride: int = 1,
                                 dilation: int = 1, padding: int | None = None):
-    """XLA grouped-conv reference implementation (for tests)."""
+    """XLA grouped-conv formulation (the default backend; also the
+    semantics oracle the shift ladder is tested against)."""
     if padding is None:
         padding = dilation
     c = kernel.shape[-1]

@@ -18,6 +18,18 @@ TFLOP/s and activation GB/s.  Geometries mirror the DeepLab-xception
   e3x3    3x3 256->256 @ 128^2  (entry-flow / decoder class)
   entry   3x3 128->128 @ 256^2  (high-res entry flow class)
 
+Note: the dw728 chain's values drift large over CHAIN steps (random
+per-channel DC gains compound; bf16's fp32 exponent range keeps them
+finite) — harmless for timing, so the epilogue stays a near-1 constant.
+
+Measured 2026-08-17 (docs/PLATFORM.md "Round-2 probes"): e3x3 84 and
+entry 72 TFLOP/s (XLA convs in-program are FAST at big geometries), but
+EVERY op at the 32^2 x 728 middle-flow shape — pointwise, depthwise
+(either backend), even a bare elementwise multiply-add, fori_loop or
+unrolled — costs ~0.8 ms: a per-dependent-op latency floor (~28 GB/s
+effective), not compute.  The xception step's ~170 sequential kernels x
+this floor explains its 181 ms.
+
 Usage: PYTHONPATH=/root/.axon_site:/root/repo \
     python scripts/bench_conv_chain.py [variant ...]
 """
@@ -34,13 +46,21 @@ from jax import lax
 CHAIN = 32
 
 
-def chain(op, x0, flops_per_op, bytes_per_op, iters=4, label=""):
-    @jax.jit
-    def fn(x, s):
-        def body(_, c):
-            c = op(c)
-            return (c * s).astype(jnp.bfloat16)
-        return lax.fori_loop(0, CHAIN, body, x)
+def chain(op, x0, flops_per_op, bytes_per_op, iters=4, label="",
+          unroll=False):
+    if unroll:
+        @jax.jit
+        def fn(x, s):
+            for _ in range(CHAIN):
+                x = (op(x) * s).astype(jnp.bfloat16)
+            return x
+    else:
+        @jax.jit
+        def fn(x, s):
+            def body(_, c):
+                c = op(c)
+                return (c * s).astype(jnp.bfloat16)
+            return lax.fori_loop(0, CHAIN, body, x)
 
     scales = [jnp.bfloat16(1.0 + 1e-3 * i) for i in range(iters + 1)]
     t0 = time.perf_counter()
@@ -106,6 +126,44 @@ def build(variant, batch=8):
         op = lambda v: lax.conv_general_dilated(
             v, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
         flops = 2 * b * h * h * c * c * 9
+    elif variant in ("e3x3T", "e3x3W", "e3x3F"):
+        # the backward pass's two conv geometries at the e3x3 shape —
+        # T = input-grad (transposed conv via vjp), W = weight-grad,
+        # F = fwd via the same vjp harness (control).  A per-FLOP gap
+        # vs plain e3x3 would finger XLA's conv-backward lowering as the
+        # train step's cost center (fixable: custom_vjp einsum backward)
+        b, h, c = batch, 128, 256
+        x = act(b, h, h, c)
+        k = jnp.asarray(rng.standard_normal((3, 3, c, c)) / (3 * c ** 0.5),
+                        jnp.bfloat16)
+
+        def conv(v, kk):
+            return lax.conv_general_dilated(
+                v, kk, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        if variant == "e3x3T":
+            def op(v):
+                _, vjp = jax.vjp(lambda u: conv(u, k), v)
+                (dv,) = vjp(v)
+                return dv
+        elif variant == "e3x3W":
+            def op(v):
+                _, vjp = jax.vjp(lambda kk: conv(v, kk), k)
+                (dk,) = vjp(v)
+                return v * (1.0 + 1e-12 * dk.sum().astype(jnp.float32))
+        else:
+            op = lambda v: conv(v, k)
+        flops = 2 * b * h * h * c * c * 9
+    elif variant.startswith("ew"):
+        # trivial elementwise op at the middle-flow activation shape —
+        # if this also costs ~0.9 ms/op in-chain, the per-op cost is a
+        # serialization/latency floor, not compute ("ew" = fori_loop,
+        # "ewunroll" = straight-line python unroll like a real model)
+        b, h, c = batch, 32, 728
+        x = act(b, h, h, c)
+        op = lambda v: v * jnp.bfloat16(1.0009765625) + jnp.bfloat16(1e-3)
+        flops = 2 * b * h * h * c
     else:
         raise SystemExit(f"unknown variant {variant!r}")
     bytes_per_op = 2 * 2 * x.size  # bf16 read + write of the activation
@@ -115,9 +173,20 @@ def build(variant, batch=8):
 def main():
     variants = sys.argv[1:] or ["pw728", "pw728mm", "dw728", "dw728lax",
                                 "e3x3", "entry"]
+    global CHAIN
     for v in variants:
-        x, op, flops, nbytes = build(v)
-        print(json.dumps(chain(op, x, flops, nbytes, label=v)), flush=True)
+        # "ew@32" = variant at batch 32; "ew@32x128" = chain length 128
+        # (sweeping the length separates per-op cost from fixed
+        # per-program overhead: ms_per_op that shrinks with length is
+        # program overhead, constant ms_per_op is a real per-op floor)
+        name, _, bs = v.partition("@")
+        bs, _, cl = bs.partition("x")
+        batch = int(bs) if bs else 8
+        CHAIN = int(cl) if cl else 32
+        unroll = name.endswith("unroll")
+        x, op, flops, nbytes = build(name[:-6] if unroll else name, batch)
+        print(json.dumps(chain(op, x, flops, nbytes, label=v,
+                               unroll=unroll)), flush=True)
 
 
 if __name__ == "__main__":

@@ -28,14 +28,15 @@ def bench(backend: str, backbone="mobilenet", batch=8, size=512, iters=8, warmup
     # "mixed" = lax backbone + im2col ASPP/decoder head (ROADMAP item 2:
     # the decoder's dense 3x3 convs are the candidates for the einsum
     # lowering; the backbone stays on the measured-good lax path).
-    # "dwlax" = lax convs + XLA grouped-conv depthwise (vs the default
-    # 9-tap shift ladder, ops/depthwise.py).
+    # "dwlax"/"dwshift" = force the depthwise backend (XLA grouped conv,
+    # now the default, vs the 9-tap shift ladder — ops/depthwise.py; the
+    # round-2 full-step ABAB made lax the default at 112 vs 181 ms).
     head = ""
-    DW.set_default_backend("lax" if backend == "dwlax" else "shift")
+    DW.set_default_backend("shift" if backend == "dwshift" else "lax")
     if backend == "mixed":
         C.set_default_backend("lax")
         head = "einsum"
-    elif backend == "dwlax":
+    elif backend in ("dwlax", "dwshift"):
         C.set_default_backend("lax")
     else:
         C.set_default_backend(backend)
@@ -74,7 +75,7 @@ def bench(backend: str, backbone="mobilenet", batch=8, size=512, iters=8, warmup
 
 
 def main():
-    # args: backend[:backbone[:frozen]], e.g. "lax:xception:frozen"
+    # args: backend[:backbone[:frozen[:batch]]], e.g. "lax:xception::32"
     for run_i, arg in enumerate(sys.argv[1:] or ["einsum", "lax"]):
         parts = arg.split(":")
         backend = parts[0]
@@ -82,9 +83,9 @@ def main():
         frozen = len(parts) > 2 and parts[2] == "frozen"
         if len(parts) > 2 and parts[2] not in ("frozen", ""):
             sys.exit(f"unknown step variant {parts[2]!r} (use 'frozen')")
-        if len(parts) > 3:
+        if len(parts) > 4:
             sys.exit(f"too many ':' segments in {arg!r}")
-        batch = 8
+        batch = int(parts[3]) if len(parts) > 3 and parts[3] else 8
         # distinct seed per run so repeated variants never replay inputs
         # (tunnel result-cache rule, scripts/_bench_util.py)
         dt, compile_s = bench(backend, backbone, batch=batch, frozen=frozen,
