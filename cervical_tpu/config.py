@@ -92,6 +92,11 @@ class SegTrainConfig:
     # target platform (docs/PLATFORM.md), so the epoch loop keeps a window
     # of un-fetched steps pipelined.  1 = fetch every step (torch-like).
     pipeline_depth: int = 8
+    # optimizer steps run per compiled program via lax.scan: every program
+    # execution carries a fixed ~28 ms serialized cost on the target
+    # platform (docs/PLATFORM.md round-2 chain-length sweep), so K steps
+    # per program amortize it to ~28/K ms/step.  1 = one step per program.
+    steps_per_call: int = 4
 
 
 @dataclass

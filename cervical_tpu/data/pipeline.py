@@ -59,22 +59,49 @@ def host_local_batches(loader: Iterable, mesh, with_weights: bool = False
 
 
 def device_prefetch(loader: Iterable, mesh, depth: int = 2,
-                    with_weights: bool = False) -> Iterator:
+                    with_weights: bool = False, group: int = 1) -> Iterator:
     """Upload batches to the mesh-sharded layout ahead of consumption.
 
     ``depth`` batches are kept in flight; device_put is asynchronous, so the
     returned arrays are ready (or in transit) when the training loop asks
     for them.  ``with_weights`` appends the validity vector (see
     :func:`host_local_batches`).
+
+    ``group`` > 1 stacks that many consecutive batches host-side into
+    (K, B, ...) arrays sharded over 'data' on axis 1, feeding the
+    K-steps-per-program scan (``make_train_step_scan`` — amortizes the
+    platform's fixed per-program cost).  A ragged tail of fewer than
+    ``group`` batches is yielded as plain (B, ...) single-step batches
+    (distinguish by ``ndim``).
     """
+    import numpy as np
+
     q: queue.Queue = queue.Queue(maxsize=depth)
     _SENTINEL = object()
     err: list = []
 
+    def put_group(pending):
+        if len(pending) == group:
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs, axis=0), *pending)
+            q.put(shard_batch(mesh, stacked, batch_axis=1))
+        else:  # ragged tail: single-step batches
+            for b in pending:
+                q.put(shard_batch(mesh, b))
+
     def producer():
         try:
+            pending = []
             for batch in host_local_batches(loader, mesh, with_weights):
-                q.put(shard_batch(mesh, batch))
+                if group <= 1:
+                    q.put(shard_batch(mesh, batch))
+                    continue
+                pending.append(batch)
+                if len(pending) == group:
+                    put_group(pending)
+                    pending = []
+            if pending:
+                put_group(pending)
         except Exception as e:  # pragma: no cover
             err.append(e)
         finally:

@@ -61,18 +61,22 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Place a pytree of host arrays so axis 0 is sharded over 'data'.
+def shard_batch(mesh: Mesh, batch, batch_axis: int = 0):
+    """Place a pytree of host arrays so ``batch_axis`` is sharded over
+    'data' (axes before it are replicated — e.g. the K axis of stacked
+    multi-step batches).
 
-    Arrays whose leading dim doesn't divide the data-axis size (ragged final
+    Arrays whose batch dim doesn't divide the data-axis size (ragged final
     eval batches) are replicated instead — correctness over placement.
     """
     n_data = mesh.shape["data"]
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim >= 1 and x.shape[0] % n_data == 0:
-            return jax.device_put(x, data_sharding(mesh, x.ndim))
+        if x.ndim > batch_axis and x.shape[batch_axis] % n_data == 0:
+            spec = [None] * x.ndim
+            spec[batch_axis] = "data"
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
         return jax.device_put(x, replicated_sharding(mesh))
     return jax.tree_util.tree_map(put, batch)
 

@@ -180,9 +180,10 @@ def seg_loss_fn(cfg: SegTrainConfig, logits, labels, one_hot,
     return total, main
 
 
-def make_train_step(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
-    """Returns jit(state, images_u8, labels_u8, aug_params, lr, rng) ->
-    (state, metrics).  Augmentation runs inside the step (fused).
+def _make_train_body(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
+    """The un-jitted train-step body: (state, images_u8, labels_u8,
+    aug_params, lr, rng) -> (state, metrics).  Augmentation runs inside
+    the step (fused).
 
     ``aug_params=None`` (the production path) samples the augmentation
     parameters INSIDE the jit from ``rng``: the eager
@@ -196,7 +197,6 @@ def make_train_step(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
 
     from cervical_tpu.ops.warp_xla import augment_batch_einsum
 
-    @jax.jit
     def step(state: TrainState, images, labels, aug_params, lr, rng):
         # fused on-device augmentation (einsum warp backend — see
         # ops/warp_xla.py); returns normalized bf16 images + int32 labels.
@@ -257,6 +257,35 @@ def make_train_step(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
         return new_state, metrics
 
     return step
+
+
+def make_train_step(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
+    """jit of :func:`_make_train_body` — one optimizer step per call."""
+    return jax.jit(_make_train_body(cfg, model, tx, frozen))
+
+
+def make_train_step_scan(cfg: SegTrainConfig, model: DeepLab, tx,
+                         frozen: bool, k: int):
+    """Returns jit(state, images (K,B,H,W,3) u8, labels (K,B,H,W) u8, lr,
+    rng) -> (state, metrics) running K optimizer steps in ONE program via
+    ``lax.scan`` — each program execution carries a fixed ~28 ms
+    serialized cost on the target platform (docs/PLATFORM.md round-2
+    chain-length sweep), so batching K dependent steps amortizes it to
+    ~28/K ms per step.  Metrics come back stacked per sub-step, shape (K,).
+    Sub-step batches stay sharded over the mesh 'data' axis (axis 1)."""
+    body = _make_train_body(cfg, model, tx, frozen)
+
+    @jax.jit
+    def scan_step(state: TrainState, images, labels, lr, rng):
+        keys = jax.random.split(rng, k)
+
+        def f(st, xs):
+            im, lb, ky = xs
+            return body(st, im, lb, None, lr, ky)
+
+        return jax.lax.scan(f, state, (images, labels, keys))
+
+    return scan_step
 
 
 def make_eval_step(cfg: SegTrainConfig, model: DeepLab):
@@ -321,6 +350,13 @@ class SegTrainer:
                                                   self.tx, frozen)
         return self._steps[frozen]
 
+    def _train_step_scan(self, frozen: bool, k: int):
+        key = ("scan", frozen, k)
+        if key not in self._steps:
+            self._steps[key] = make_train_step_scan(self.cfg, self.model,
+                                                    self.tx, frozen, k)
+        return self._steps[key]
+
     def _eval_step(self):
         if "eval" not in self._steps:
             self._steps["eval"] = make_eval_step(self.cfg, self.model)
@@ -340,6 +376,8 @@ class SegTrainer:
 
         t0 = time.time()
         step_fn = self._train_step(frozen)
+        k = max(1, self.cfg.steps_per_call)
+        scan_fn = self._train_step_scan(frozen, k) if k > 1 else None
         tl, tf, n = 0.0, 0.0, 0
         # Steps are dispatched ahead of their metric fetches: each float()
         # costs a ~30-70 ms host round-trip on the target platform
@@ -347,41 +385,51 @@ class SegTrainer:
         # keeps the device queue full (the torch loop's per-step .item()
         # sync, utils_fit.py:117-121, is the anti-pattern here).
         depth = max(1, self.cfg.pipeline_depth)
-        pending = []
+        pending = []  # scalar metrics (single step) or (K,) (scanned)
 
         def drain(limit):
             nonlocal tl, tf, n
             while len(pending) > limit:
                 m = pending.pop(0)
-                tl += float(m["loss"])
-                tf += float(m["f_score"])
-                n += 1
+                v = np.asarray(m["loss"])
+                tl += float(v.sum())
+                tf += float(np.asarray(m["f_score"]).sum())
+                n += v.size
 
         # host->device uploads overlap compute (and each process feeds its
         # slice of the global batch under multihost) — data/pipeline.py.
         # aug params are sampled INSIDE the jitted step (make_train_step):
         # one dispatch per step instead of ~20 eager micro-dispatches.
-        for images, labels in device_prefetch(train_loader, self.mesh):
+        # steps_per_call batches are stacked into one scanned program
+        # (make_train_step_scan) to amortize the fixed per-program cost;
+        # the ragged tail arrives as plain 4-d batches.
+        for images, labels in device_prefetch(train_loader, self.mesh,
+                                              group=k):
             self.rng, dk = jax.random.split(self.rng)
-            self.state, m = step_fn(self.state, images, labels,
-                                    None, jnp.asarray(lr), dk)
+            if images.ndim == 5:
+                self.state, m = scan_fn(self.state, images, labels,
+                                        jnp.asarray(lr), dk)
+            else:
+                self.state, m = step_fn(self.state, images, labels,
+                                        None, jnp.asarray(lr), dk)
             pending.append(m)
             drain(depth - 1)
         drain(0)
         vl, vf, vn = 0.0, 0.0, 0
         eval_fn = self._eval_step()
+        epending = []
 
         def edrain(limit):
             nonlocal vl, vf, vn
-            while len(pending) > limit:
-                m = pending.pop(0)
+            while len(epending) > limit:
+                m = epending.pop(0)
                 vl += float(m["loss"])
                 vf += float(m["f_score"])
                 vn += 1
 
         for images, labels, w in device_prefetch(val_loader, self.mesh,
                                                  with_weights=True):
-            pending.append(eval_fn(self.state, images, labels, w))
+            epending.append(eval_fn(self.state, images, labels, w))
             edrain(depth - 1)
         edrain(0)
         return EpochResult(tl / max(n, 1), vl / max(vn, 1), tf / max(n, 1),

@@ -39,7 +39,11 @@ def main():
     from cervical_tpu.config import SegTrainConfig, SegDataConfig
     from cervical_tpu.train.seg_trainer import SegTrainer
 
-    depths = [int(a) for a in sys.argv[1:]] or [1, 8, 1, 8]
+    # arg "8@4" = pipeline_depth 8, steps_per_call 4 (K-step scan)
+    specs = []
+    for a in (sys.argv[1:] or ["1", "8", "1", "8"]):
+        d, _, k = a.partition("@")
+        specs.append((int(d), int(k) if k else 1))
     batch, nb, size = 8, 12, 512
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 256, (batch * nb, size, size, 3)).astype(np.uint8)
@@ -53,13 +57,15 @@ def main():
                          backbone="mobilenet", unfreeze_batch_size=batch)
     trainer = SegTrainer(cfg)
     trainer.run_epoch(train, val, 0, frozen=False, lr=1e-4)  # compile+warm
-    for i, depth in enumerate(depths):
+    for i, (depth, k) in enumerate(specs):
         trainer.cfg.pipeline_depth = depth
+        trainer.cfg.steps_per_call = k
         # advance trainer.rng per epoch -> unique aug params, no replay
         t0 = time.perf_counter()
         res = trainer.run_epoch(train, val, i + 1, frozen=False, lr=1e-4)
         dt = time.perf_counter() - t0
-        print(json.dumps({"depth": depth, "epoch_s": round(dt, 3),
+        print(json.dumps({"depth": depth, "steps_per_call": k,
+                          "epoch_s": round(dt, 3),
                           "train_img_per_s": round(batch * nb / dt, 1),
                           "loss": round(res.train_loss, 4)}), flush=True)
 

@@ -247,3 +247,75 @@ def test_reference_weights_init_statistics(tmp_path):
           if getattr(p[-1], "key", "") == "kernel" and l.ndim == 4]
     big2 = np.concatenate([k.reshape(-1) for k in k2 if k.size > 500])
     assert big2.std() > 0.03  # lecun-normal spreads wider than 0.02
+
+
+def test_train_step_scan_matches_sequential(tmp_path):
+    """K steps scanned into one program (make_train_step_scan — amortizes
+    the platform's fixed per-program cost) must produce the same state as
+    K sequential single-step calls with the same per-step keys."""
+    from cervical_tpu.train import seg_trainer as T
+
+    cfg = _cfg(tmp_path)
+    model = T.build_model(cfg)
+    tx = T.make_optimizer(cfg)
+    state0 = T.create_state(cfg, jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (2, 8, 48, 48, 3)), jnp.uint8)
+    labels = jnp.asarray(rng.integers(0, 5, (2, 8, 48, 48)), jnp.uint8)
+    lr = jnp.float32(1e-3)
+    key = jax.random.PRNGKey(7)
+
+    scan_fn = T.make_train_step_scan(cfg, model, tx, frozen=False, k=2)
+    s_scan, m_scan = scan_fn(state0, images, labels, lr, key)
+
+    step_fn = T.make_train_step(cfg, model, tx, frozen=False)
+    st = state0
+    ms = []
+    for i, ky in enumerate(jax.random.split(key, 2)):
+        st, m = step_fn(st, images[i], labels[i], None, lr, ky)
+        ms.append(m)
+
+    assert int(s_scan.step) == int(st.step) == 2
+    # scan-vs-straight-line compilation reorders float accumulations, and
+    # Adam's m/sqrt(v) normalization acts like sign(g) at early steps — a
+    # near-zero gradient whose sign flips under reordering takes a full
+    # +-lr step either way.  So: virtually all elements must agree
+    # tightly, and the rare sign-flip outlier stays within ~2 lr steps.
+    # sub-step 0 runs from the IDENTICAL state/key in both programs: its
+    # loss must match to float32 reduction noise.  Sub-step 1's state has
+    # accumulated per-element Adam sign-flip chaos (m/sqrt(v) ~ sign(g)
+    # at early steps, so a near-zero grad whose sign flips under
+    # scan-vs-straight-line reduction reordering takes a full +-lr step
+    # either way) — the loss stays tight, params agree for the vast
+    # majority of elements, and no element moves more than ~2 lr steps.
+    assert np.isclose(float(m_scan["loss"][0]), float(ms[0]["loss"]),
+                      rtol=1e-4)
+    assert np.isclose(float(m_scan["loss"][1]), float(ms[1]["loss"]),
+                      rtol=1e-2)
+    diffs = np.concatenate([
+        np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)).ravel()
+        for a, b in zip(jax.tree_util.tree_leaves(s_scan.params),
+                        jax.tree_util.tree_leaves(st.params))])
+    assert (diffs < 5e-5).mean() > 0.99, (diffs.max(), (diffs >= 5e-5).mean())
+    assert diffs.max() < 5e-3, diffs.max()
+
+
+def test_run_epoch_steps_per_call(voc_root, tmp_path):
+    """run_epoch with steps_per_call>1 runs every batch exactly once
+    (grouped scans + ragged single-step tail) and returns finite metrics."""
+    cfg = _cfg(tmp_path)
+    cfg = dataclasses.replace(cfg, steps_per_call=2, pipeline_depth=2)
+    trainer = SegTrainer(cfg)
+    ids = read_split(voc_root, "train")
+    ds = VOCSegDataset(voc_root, ids, stage_hw=(48, 48))
+    # batch 4 -> an odd batch count: k=2 scan calls plus a ragged
+    # single-step tail; val exercises the plain eval path
+    train_loader = BatchLoader(ds, 4, num_workers=1, seed=0)
+    val_loader = BatchLoader(ds, 4, num_workers=1, seed=0, shuffle=False)
+    n_batches = len(ids) // 4
+    before = int(trainer.state.step)
+    res = trainer.run_epoch(train_loader, val_loader, 0, frozen=False,
+                            lr=1e-3)
+    assert int(trainer.state.step) - before == n_batches
+    assert np.isfinite(res.train_loss) and np.isfinite(res.val_loss)
