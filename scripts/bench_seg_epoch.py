@@ -39,11 +39,13 @@ def main():
     from cervical_tpu.config import SegTrainConfig, SegDataConfig
     from cervical_tpu.train.seg_trainer import SegTrainer
 
-    # arg "8@4" = pipeline_depth 8, steps_per_call 4 (K-step scan)
+    # arg "8@4" = pipeline_depth 8, steps_per_call 4 (K-step scan);
+    # "pure@4" = compute-only bound: pre-uploaded stacked groups, direct
+    # scan_fn calls, no loader/upload/eval — isolates pipeline overhead
     specs = []
     for a in (sys.argv[1:] or ["1", "8", "1", "8"]):
         d, _, k = a.partition("@")
-        specs.append((int(d), int(k) if k else 1))
+        specs.append((d if d == "pure" else int(d), int(k) if k else 1))
     batch, nb, size = 8, 12, 512
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 256, (batch * nb, size, size, 3)).astype(np.uint8)
@@ -57,7 +59,38 @@ def main():
                          backbone="mobilenet", unfreeze_batch_size=batch)
     trainer = SegTrainer(cfg)
     trainer.run_epoch(train, val, 0, frozen=False, lr=1e-4)  # compile+warm
+
+    def pure_epoch(k, seed):
+        from cervical_tpu.parallel import shard_batch
+        import jax.numpy as jnp
+        scan_fn = trainer._train_step_scan(frozen=False, k=k)
+        groups = []
+        for g in range(nb // k):
+            sl = slice(g * k * batch, (g + 1) * k * batch)
+            groups.append(shard_batch(
+                trainer.mesh,
+                (imgs[sl].reshape(k, batch, size, size, 3),
+                 lbls[sl].reshape(k, batch, size, size)), batch_axis=1))
+        for im, lb in groups:  # warm the upload
+            im.block_until_ready()
+        t0 = time.perf_counter()
+        ms = []
+        for j, (im, lb) in enumerate(groups):
+            key = jax.random.PRNGKey(seed * 1000 + j)
+            trainer.state, m = scan_fn(trainer.state, im, lb,
+                                       jnp.float32(1e-4), key)
+            ms.append(m)
+        loss = float(np.mean([np.asarray(m["loss"]).mean() for m in ms]))
+        return time.perf_counter() - t0, loss
+
     for i, (depth, k) in enumerate(specs):
+        if depth == "pure":
+            dt, loss = pure_epoch(k, i + 1)
+            print(json.dumps({"depth": "pure", "steps_per_call": k,
+                              "epoch_s": round(dt, 3),
+                              "train_img_per_s": round(batch * nb / dt, 1),
+                              "loss": round(loss, 4)}), flush=True)
+            continue
         trainer.cfg.pipeline_depth = depth
         trainer.cfg.steps_per_call = k
         # advance trainer.rng per epoch -> unique aug params, no replay
