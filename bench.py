@@ -9,14 +9,16 @@ python loop (Segmentation/deeplabv3+/utils/dataloader.py:55-154).
 
 Implementation under test: the Pallas/Mosaic warp backend
 (cervical_tpu/ops/pallas_warp.py) — per-image MXU-matmul resample, exact
-in-VMEM Paeth 3-shear rotation, fused photometric kernel — with
-device-side parameter sampling.  Round 2 re-opened this backend after
-scripts/probe_pallas.py showed the platform's Mosaic compute at XLA
-parity (round 1 measured it ~40x slow); ABAB-interleaved against the
-einsum/barrel path (scripts/bench_warp_variants.py `pallas` vs
-`two_shear`) it runs 16.8-17.0k vs 10.3k img/s — 1.64x — while rotating
-EVERY image with the exact 3-shear (no capacity cap, no 2-shear
-approximation).  The einsum path stays as the fallback
+in-VMEM Paeth 3-shear rotation (PREDICATED via in-kernel ``lax.cond``:
+only the 25% of images the reference rotates pay the shear ladders),
+photometric kernel — with device-side parameter sampling.  Round 2
+re-opened this backend after scripts/probe_pallas.py showed the
+platform's Mosaic compute at XLA parity (round 1 measured it ~40x slow):
+16.8-17.0k img/s vs the einsum/barrel path's 10.3k, then 22.7-22.9k
+after predicating the rotation (ABAB both orders,
+scripts/bench_warp_variants.py `pallas` vs `pallas_fused` vs
+`two_shear`).  Exact 3-shear on every rotating image — no capacity cap,
+no 2-shear approximation.  The einsum path stays as the fallback
 (`CERVICAL_BENCH_BACKEND=einsum`).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.

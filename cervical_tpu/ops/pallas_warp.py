@@ -39,6 +39,9 @@ from jax.experimental.pallas import tpu as pltpu
 # params vector layout (float32, per image)
 P_AY, P_BY, P_AX, P_BX, P_TANH, P_SINT, P_ANGLE, P_FILL = range(8)
 NPARAMS = 8
+# extended layout for the fused warp+photometric kernel
+P_GH, P_GS, P_GV, P_BLUR = 8, 9, 10, 11
+NPARAMS_FULL = 12
 MAX_SHIFT = 64  # barrel range: +-10deg rotation on 512 canvas stays under 64
 
 
@@ -232,8 +235,12 @@ def _warp_image_kernel(params_ref, img_ref, out_ref, *, size: int,
                     preferred_element_type=jnp.float32)
         h = h + fill_x
         h = h.astype(jnp.bfloat16)
-        rot = _rotate_plane(h, tanh, sint, fill, nearest=False, size=size)
-        out_ref[0, ch] = jnp.where(angle != 0.0, rot, h)
+        # predicated: only rotating images pay the 3-shear ladders
+        out_ref[0, ch] = jax.lax.cond(
+            angle != 0.0,
+            lambda t: _rotate_plane(t, tanh, sint, fill, nearest=False,
+                                    size=size),
+            lambda t: t, h)
 
 
 def _warp_label_kernel(params_ref, lbl_ref, out_ref, *, size: int,
@@ -255,8 +262,10 @@ def _warp_label_kernel(params_ref, lbl_ref, out_ref, *, size: int,
     angle = params_ref[b, P_ANGLE]
     tanh = params_ref[b, P_TANH]
     sint = params_ref[b, P_SINT]
-    rot = _rotate_plane(h, tanh, sint, 0.0, nearest=True, size=size)
-    res = jnp.where(angle != 0.0, rot, h)
+    res = jax.lax.cond(
+        angle != 0.0,
+        lambda t: _rotate_plane(t, tanh, sint, 0.0, nearest=True, size=size),
+        lambda t: t, h)
     out_ref[0] = jnp.round(res.astype(jnp.float32)).astype(jnp.int32)
 
 
@@ -304,21 +313,106 @@ def warp_labels(labels, warp_params, out_size: int = None,
     )(warp_params, labels)
 
 
+def _warp_photo_kernel(params_ref, img_ref, out_ref, *, size: int,
+                       src_hw: tuple):
+    """Fused geometric warp + photometric pass (round-2 fast path).
+
+    One kernel instead of warp_images + photometric: saves the (B,3,S,S)
+    bf16 HBM round-trip between them, and — the bigger win — makes the
+    rotation shears and the blur *predicated* (``lax.cond`` on the
+    per-image scalars): only the 25% of images the reference rotates
+    (dataloader.py:125) pay the 3-shear barrel ladders, and only the 25%
+    it blurs (dataloader.py:118) pay the separable 5x5, instead of
+    every image computing both and selecting.
+    """
+    b = pl.program_id(0)
+    ay = params_ref[b, P_AY]
+    by = params_ref[b, P_BY]
+    ax = params_ref[b, P_AX]
+    bx = params_ref[b, P_BX]
+    fill = params_ref[b, P_FILL]
+    angle = params_ref[b, P_ANGLE]
+    tanh = params_ref[b, P_TANH]
+    sint = params_ref[b, P_SINT]
+    gh = params_ref[b, P_GH]
+    gs = params_ref[b, P_GS]
+    gv = params_ref[b, P_GV]
+    do_blur = params_ref[b, P_BLUR]
+
+    wy, inb_y = _interp_weights(ay, by, size, src_hw[0], nearest=False)
+    wxt, inb_x = _interp_weights(ax, bx, size, src_hw[1], nearest=False,
+                                 transposed=True)
+    fill_y = (1.0 - inb_y) * fill  # (S,1)
+    fill_x = (1.0 - inb_x) * fill  # (1,S)
+
+    planes = []
+    for ch in range(3):
+        # Mosaic lacks a direct u8->bf16 cast; hop through int32/f32
+        src = img_ref[0, ch].astype(jnp.int32).astype(jnp.float32) \
+            .astype(jnp.bfloat16)
+        v = jnp.dot(wy, src, preferred_element_type=jnp.float32) + fill_y
+        h = jnp.dot(v.astype(jnp.bfloat16), wxt,
+                    preferred_element_type=jnp.float32) + fill_x
+        # stage bf16 between passes (same numerics as the two-kernel
+        # formulation, and half the VMEM live set — the f32 variant blew
+        # the 16 MB scoped-vmem budget)
+        planes.append(h.astype(jnp.bfloat16))
+
+    planes = jax.lax.cond(
+        angle != 0.0,
+        lambda ps: tuple(_rotate_plane(p, tanh, sint, fill, nearest=False,
+                                       size=size) for p in ps),
+        lambda ps: ps, tuple(planes))
+
+    ro, go, bo = _hsv_jitter_planes(planes[0].astype(jnp.float32),
+                                    planes[1].astype(jnp.float32),
+                                    planes[2].astype(jnp.float32),
+                                    gh, gs, gv)
+    ro, go, bo = jax.lax.cond(
+        do_blur > 0,
+        lambda t: tuple(_blur2d(x, size) for x in t),
+        lambda t: t, (ro, go, bo))
+
+    inv255 = 1.0 / 255.0
+    out_ref[0, 0] = (ro * inv255).astype(out_ref.dtype)
+    out_ref[0, 1] = (go * inv255).astype(out_ref.dtype)
+    out_ref[0, 2] = (bo * inv255).astype(out_ref.dtype)
+
+
+def warp_photo_images(images_planar, full_params, out_size: int = None,
+                      interpret: bool = False, out_dtype=jnp.bfloat16):
+    """Fused geometric + photometric warp: (B, 3, Hs, Ws) uint8 ->
+    (B, 3, S, S) ``out_dtype`` in [0, 1].  ``full_params`` is
+    (B, NPARAMS_FULL) — :func:`make_warp_params` columns plus HSV gains
+    and the blur flag."""
+    b, c, sh, sw = images_planar.shape
+    s = out_size or sh
+    kernel = functools.partial(_warp_photo_kernel, size=s, src_hw=(sh, sw))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, c, sh, sw), lambda i, p: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, c, s, s), lambda i, p: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, c, s, s), out_dtype),
+        # the fused kernel's peak live set (3 planes + HSV temporaries +
+        # double-buffered blocks) exceeds the default 16 MB scoped-vmem
+        # budget; v5e has headroom well beyond this
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 2**20),
+        interpret=interpret,
+    )(full_params, images_planar)
+
+
 # ---------------------------------------------------------------------------
 # Photometric kernel: HSV gain jitter + conditional blur + /255
 # ---------------------------------------------------------------------------
 
-def _photometric_kernel(pparams_ref, img_ref, out_ref, *, size: int):
-    b = pl.program_id(0)
-    gh = pparams_ref[b, 0]
-    gs = pparams_ref[b, 1]
-    gv = pparams_ref[b, 2]
-    do_blur = pparams_ref[b, 3]
-
-    r = img_ref[0, 0].astype(jnp.float32)
-    g = img_ref[0, 1].astype(jnp.float32)
-    bl = img_ref[0, 2].astype(jnp.float32)
-
+def _hsv_jitter_planes(r, g, bl, gh, gs, gv):
+    """cv2-convention HSV gain jitter on three f32 planes in [0, 255]."""
     # --- RGB -> cv2-uint8-range HSV ---
     v = jnp.maximum(jnp.maximum(r, g), bl)
     mn = jnp.minimum(jnp.minimum(r, g), bl)
@@ -350,9 +444,12 @@ def _photometric_kernel(pparams_ref, img_ref, out_ref, *, size: int):
     ro = sel(cc, xx, 0.0, 0.0, xx, cc) + m
     go = sel(xx, cc, cc, xx, 0.0, 0.0) + m
     bo = sel(0.0, 0.0, xx, cc, cc, xx) + m
+    return ro, go, bo
 
-    # --- conditional separable 5x5 Gaussian (binomial [1,4,6,4,1]/16),
-    #     REFLECT_101 borders via masked rolls ---
+
+def _blur2d(x, size: int):
+    """Separable 5x5 Gaussian (binomial [1,4,6,4,1]/16), REFLECT_101
+    borders via masked rolls."""
     def blur1d(x, axis):
         n = size
         idx = jax.lax.broadcasted_iota(jnp.int32, (size, size), axis)
@@ -366,12 +463,25 @@ def _photometric_kernel(pparams_ref, img_ref, out_ref, *, size: int):
             acc = acc + wgt * (plus + minus)
         return acc
 
-    def blur2d(x):
-        return blur1d(blur1d(x, 0), 1)
+    return blur1d(blur1d(x, 0), 1)
 
-    rb = jnp.where(do_blur > 0, blur2d(ro), ro)
-    gb = jnp.where(do_blur > 0, blur2d(go), go)
-    bb = jnp.where(do_blur > 0, blur2d(bo), bo)
+
+def _photometric_kernel(pparams_ref, img_ref, out_ref, *, size: int):
+    b = pl.program_id(0)
+    gh = pparams_ref[b, 0]
+    gs = pparams_ref[b, 1]
+    gv = pparams_ref[b, 2]
+    do_blur = pparams_ref[b, 3]
+
+    r = img_ref[0, 0].astype(jnp.float32)
+    g = img_ref[0, 1].astype(jnp.float32)
+    bl = img_ref[0, 2].astype(jnp.float32)
+
+    ro, go, bo = _hsv_jitter_planes(r, g, bl, gh, gs, gv)
+
+    rb = jnp.where(do_blur > 0, _blur2d(ro, size), ro)
+    gb = jnp.where(do_blur > 0, _blur2d(go, size), go)
+    bb = jnp.where(do_blur > 0, _blur2d(bo, size), bo)
 
     inv255 = 1.0 / 255.0
     out_ref[0, 0] = (rb * inv255).astype(out_ref.dtype)
@@ -411,27 +521,47 @@ def photometric(images_planar, gains, blur_flags, interpret: bool = False,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("dst_hw", "letterbox",
-                                             "interpret", "normalized"))
+                                             "interpret", "normalized",
+                                             "fused"))
 def augment_batch_pallas(images, labels, params, dst_hw: Tuple[int, int],
                          letterbox: bool = False, interpret: bool = False,
-                         normalized: bool = True):
+                         normalized: bool = True, fused: bool = False):
     """Drop-in fast path for :func:`cervical_tpu.ops.augment.augment_batch`.
 
     ``images``: (B, H, W, 3) uint8 (H == W == dst for the kernel path);
     returns (images (B, h, w, 3) bf16 — in [0,1] if ``normalized`` else
     [0,255] — and labels (B, h, w) int32).
+
+    ``fused=False`` (default) is the measured-fast path: separate warp and
+    photometric kernels, with the rotation shears *predicated* per image
+    (``lax.cond`` — only the 25% of images the reference rotates pay the
+    3-shear barrel ladders; ABAB 22.7-22.9k vs 17.0k img/s unpredicated).
+    ``fused=True`` runs geometry + photometric in ONE kernel — measured
+    SLOWER (17.2k; the monolith loses cross-program pipelining and needs a
+    48 MB scoped-vmem budget), kept for the record/perf re-probes.
     """
     b = images.shape[0]
     wp = make_warp_params(params, images.shape[1:3], dst_hw,
                           letterbox=letterbox)
     planar = jnp.transpose(images, (0, 3, 1, 2))
-    warped = warp_images(planar, wp, out_size=dst_hw[0], interpret=interpret)
     lbl = warp_labels(labels, wp, out_size=dst_hw[0], interpret=interpret)
     if letterbox:
+        warped = warp_images(planar, wp, out_size=dst_hw[0],
+                             interpret=interpret)
         out = warped.astype(jnp.bfloat16)
         if normalized:
             out = out / 255.0
+    elif fused:
+        full = jnp.concatenate(
+            [wp, params["gains"].astype(jnp.float32),
+             params["blur"].astype(jnp.float32)[:, None]], axis=-1)
+        out = warp_photo_images(planar, full, out_size=dst_hw[0],
+                                interpret=interpret)
+        if not normalized:
+            out = out * 255.0
     else:
+        warped = warp_images(planar, wp, out_size=dst_hw[0],
+                             interpret=interpret)
         out = photometric(warped, params["gains"],
                           params["blur"], interpret=interpret)
         if not normalized:

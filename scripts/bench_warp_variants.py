@@ -58,7 +58,7 @@ def full_pipeline(batch, size, two_shear):
     return batch / dt
 
 
-def full_pipeline_pallas(batch, size):
+def full_pipeline_pallas(batch, size, fused=True):
     # same sampling protocol as ``full_pipeline`` (capacity prefix/suffix),
     # but through the Mosaic kernels (ops/pallas_warp.py) — re-opened by
     # scripts/probe_pallas.py showing in-kernel dot at XLA parity (round 1
@@ -74,7 +74,8 @@ def full_pipeline_pallas(batch, size):
     def pipe(images, labels, key):
         params = A.sample_augment_params(key, batch, rotate_prefix=cap,
                                          blur_suffix=cap)
-        return PW.augment_batch_pallas(images, labels, params, (size, size))
+        return PW.augment_batch_pallas(images, labels, params, (size, size),
+                                       fused=fused)
 
     keys = jax.random.split(jax.random.PRNGKey(0), 256)
     dt, _ = timed(pipe, lambda i: (images, labels, keys[i % 256]))
@@ -124,9 +125,11 @@ def main():
         elif v == "b2048":
             ips = full_pipeline(2048, 512, True)
         elif v == "pallas":
-            ips = full_pipeline_pallas(1024, 512)
+            ips = full_pipeline_pallas(1024, 512, fused=False)
+        elif v == "pallas_fused":
+            ips = full_pipeline_pallas(1024, 512, fused=True)
         elif v == "pallas256":
-            ips = full_pipeline_pallas(256, 512)
+            ips = full_pipeline_pallas(256, 512, fused=False)
         elif v == "rot_old":
             ips = rotation_only(256, 512, "old")
         elif v == "rot_packed":

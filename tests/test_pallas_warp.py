@@ -116,6 +116,25 @@ def test_nonsquare_source_letterbox():
     assert d.mean() < 2.0
 
 
+def test_fused_matches_two_kernel_path():
+    """The fused warp+photometric kernel (one pallas_call, predicated
+    rotation/blur) must track the two-kernel formulation; residuals are
+    only the bf16 staging the two-kernel path does between kernels."""
+    images, labels = _data(7)
+    params = A.sample_augment_params(jax.random.PRNGKey(9), B,
+                                     rotate_prefix=B // 2, blur_suffix=B // 2)
+    fi, fl = PW.augment_batch_pallas(images, labels, params, (S, S),
+                                     interpret=True, normalized=False,
+                                     fused=True)
+    ui, ul = PW.augment_batch_pallas(images, labels, params, (S, S),
+                                     interpret=True, normalized=False,
+                                     fused=False)
+    d = np.abs(np.asarray(fi, np.float32) - np.asarray(ui, np.float32))
+    assert d.mean() < 1.0
+    assert (d > 4.0).mean() < 0.01
+    np.testing.assert_array_equal(np.asarray(fl), np.asarray(ul))
+
+
 def test_full_params_matches_einsum_backend():
     """Full stochastic params (scale+flip+paste+rotation+HSV+blur) — the
     pallas path must track the production einsum backend (itself golden-
