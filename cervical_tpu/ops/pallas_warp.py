@@ -479,6 +479,10 @@ def _photometric_kernel(pparams_ref, img_ref, out_ref, *, size: int):
 
     ro, go, bo = _hsv_jitter_planes(r, g, bl, gh, gs, gv)
 
+    # NOT predicated: unlike the rotation ladders, a lax.cond around the
+    # cheap separable 5x5 measured ~5% SLOWER end-to-end (21.8k vs 22.9k
+    # img/s ABAB) — the branch's operand/result copies cost more than the
+    # blur it skips on 75% of images
     rb = jnp.where(do_blur > 0, _blur2d(ro, size), ro)
     gb = jnp.where(do_blur > 0, _blur2d(go, size), go)
     bb = jnp.where(do_blur > 0, _blur2d(bo, size), bo)
