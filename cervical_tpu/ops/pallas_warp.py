@@ -266,7 +266,10 @@ def _warp_label_kernel(params_ref, lbl_ref, out_ref, *, size: int,
         angle != 0.0,
         lambda t: _rotate_plane(t, tanh, sint, 0.0, nearest=True, size=size),
         lambda t: t, h)
-    out_ref[0] = jnp.round(res.astype(jnp.float32)).astype(jnp.int32)
+    # uint8 output (via the i32 hop Mosaic needs): labels are class ids
+    # < 256, and the int32 write was 4x the HBM traffic (~6 ms/batch)
+    out_ref[0] = jnp.round(res.astype(jnp.float32)).astype(jnp.int32) \
+        .astype(jnp.uint8)
 
 
 def warp_images(images_planar, warp_params, out_size: int = None,
@@ -294,7 +297,7 @@ def warp_images(images_planar, warp_params, out_size: int = None,
 def warp_labels(labels, warp_params, out_size: int = None,
                 interpret: bool = False):
     """Batched nearest-neighbor label warp: (B, Hs, Ws) uint8 -> (B, S, S)
-    int32."""
+    uint8 (class ids; the gather oracle returns int32 — values identical)."""
     b, sh, sw = labels.shape
     s = out_size or sh
     kernel = functools.partial(_warp_label_kernel, size=s, src_hw=(sh, sw))
@@ -308,7 +311,7 @@ def warp_labels(labels, warp_params, out_size: int = None,
     )
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, s, s), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, s, s), jnp.uint8),
         interpret=interpret,
     )(warp_params, labels)
 
@@ -466,18 +469,28 @@ def _blur2d(x, size: int):
     return blur1d(blur1d(x, 0), 1)
 
 
-def _photometric_kernel(pparams_ref, img_ref, out_ref, *, size: int):
+def _photometric_kernel(pparams_ref, img_ref, out_ref, *, size: int,
+                        blur_dtype=jnp.float32):
     b = pl.program_id(0)
     gh = pparams_ref[b, 0]
     gs = pparams_ref[b, 1]
     gv = pparams_ref[b, 2]
     do_blur = pparams_ref[b, 3]
 
+    # HSV stays f32: bf16 division noise flips hue sectors on ~1% of
+    # pixels (channel-swap errors up to ~15 counts — measured)
     r = img_ref[0, 0].astype(jnp.float32)
     g = img_ref[0, 1].astype(jnp.float32)
     bl = img_ref[0, 2].astype(jnp.float32)
 
     ro, go, bo = _hsv_jitter_planes(r, g, bl, gh, gs, gv)
+
+    # bf16 blur would be numerically safe (±0.5 counts, no sector logic)
+    # but pltpu.roll does not lower for 16-bit lanes on this toolchain
+    # (Mosaic internal error) — blur_dtype stays f32
+    ro = ro.astype(blur_dtype)
+    go = go.astype(blur_dtype)
+    bo = bo.astype(blur_dtype)
 
     # NOT predicated: unlike the rotation ladders, a lax.cond around the
     # cheap separable 5x5 measured ~5% SLOWER end-to-end (21.8k vs 22.9k
@@ -487,24 +500,26 @@ def _photometric_kernel(pparams_ref, img_ref, out_ref, *, size: int):
     gb = jnp.where(do_blur > 0, _blur2d(go, size), go)
     bb = jnp.where(do_blur > 0, _blur2d(bo, size), bo)
 
-    inv255 = 1.0 / 255.0
+    inv255 = jnp.asarray(1.0 / 255.0, blur_dtype)
     out_ref[0, 0] = (rb * inv255).astype(out_ref.dtype)
     out_ref[0, 1] = (gb * inv255).astype(out_ref.dtype)
     out_ref[0, 2] = (bb * inv255).astype(out_ref.dtype)
 
 
 def photometric(images_planar, gains, blur_flags, interpret: bool = False,
-                out_dtype=jnp.bfloat16):
+                out_dtype=jnp.bfloat16, blur_dtype=jnp.float32):
     """HSV gain jitter + conditional 5x5 blur + /255.
 
     ``images_planar``: (B, 3, S, S) float/bf16 in [0,255]; ``gains``: (B, 3);
     ``blur_flags``: (B,) bool.  Returns (B, 3, S, S) ``out_dtype`` in [0,1].
+    ``blur_dtype=jnp.float32`` restores the all-f32 blur pipeline.
     """
     b, c, s, _ = images_planar.shape
     pparams = jnp.concatenate(
         [gains.astype(jnp.float32),
          blur_flags.astype(jnp.float32)[:, None]], axis=-1)
-    kernel = functools.partial(_photometric_kernel, size=s)
+    kernel = functools.partial(_photometric_kernel, size=s,
+                               blur_dtype=blur_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
@@ -526,15 +541,16 @@ def photometric(images_planar, gains, blur_flags, interpret: bool = False,
 
 @functools.partial(jax.jit, static_argnames=("dst_hw", "letterbox",
                                              "interpret", "normalized",
-                                             "fused"))
+                                             "fused", "blur_dtype"))
 def augment_batch_pallas(images, labels, params, dst_hw: Tuple[int, int],
                          letterbox: bool = False, interpret: bool = False,
-                         normalized: bool = True, fused: bool = False):
+                         normalized: bool = True, fused: bool = False,
+                         blur_dtype=jnp.float32):
     """Drop-in fast path for :func:`cervical_tpu.ops.augment.augment_batch`.
 
     ``images``: (B, H, W, 3) uint8 (H == W == dst for the kernel path);
     returns (images (B, h, w, 3) bf16 — in [0,1] if ``normalized`` else
-    [0,255] — and labels (B, h, w) int32).
+    [0,255] — and labels (B, h, w) uint8).
 
     ``fused=False`` (default) is the measured-fast path: separate warp and
     photometric kernels, with the rotation shears *predicated* per image
@@ -567,7 +583,8 @@ def augment_batch_pallas(images, labels, params, dst_hw: Tuple[int, int],
         warped = warp_images(planar, wp, out_size=dst_hw[0],
                              interpret=interpret)
         out = photometric(warped, params["gains"],
-                          params["blur"], interpret=interpret)
+                          params["blur"], interpret=interpret,
+                          blur_dtype=blur_dtype)
         if not normalized:
             out = out * 255.0
     return jnp.transpose(out, (0, 2, 3, 1)), lbl

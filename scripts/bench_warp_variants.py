@@ -58,7 +58,7 @@ def full_pipeline(batch, size, two_shear):
     return batch / dt
 
 
-def full_pipeline_pallas(batch, size, fused=True):
+def full_pipeline_pallas(batch, size, fused=True, blur_dtype=None):
     # same sampling protocol as ``full_pipeline`` (capacity prefix/suffix),
     # but through the Mosaic kernels (ops/pallas_warp.py) — re-opened by
     # scripts/probe_pallas.py showing in-kernel dot at XLA parity (round 1
@@ -70,12 +70,14 @@ def full_pipeline_pallas(batch, size, fused=True):
     labels = jnp.asarray(rng.integers(0, 5, (batch, size, size)), jnp.uint8)
     cap = batch // 4
 
+    kw = {} if blur_dtype is None else {"blur_dtype": blur_dtype}
+
     @jax.jit
     def pipe(images, labels, key):
         params = A.sample_augment_params(key, batch, rotate_prefix=cap,
                                          blur_suffix=cap)
         return PW.augment_batch_pallas(images, labels, params, (size, size),
-                                       fused=fused)
+                                       fused=fused, **kw)
 
     keys = jax.random.split(jax.random.PRNGKey(0), 256)
     dt, _ = timed(pipe, lambda i: (images, labels, keys[i % 256]))
@@ -128,6 +130,9 @@ def main():
             ips = full_pipeline_pallas(1024, 512, fused=False)
         elif v == "pallas_fused":
             ips = full_pipeline_pallas(1024, 512, fused=True)
+        elif v == "pallas_f32blur":
+            ips = full_pipeline_pallas(1024, 512, fused=False,
+                                       blur_dtype=jnp.float32)
         elif v == "pallas256":
             ips = full_pipeline_pallas(256, 512, fused=False)
         elif v == "rot_old":
