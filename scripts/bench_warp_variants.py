@@ -1,8 +1,10 @@
 """Profile augmentation-pipeline variants on the real TPU.
 
 Usage: python scripts/bench_warp_variants.py [variant ...]
-Variants: base, two_shear, b2048, rot_old, rot_packed, rot_two
-(default: base two_shear)
+Variants: base, two_shear, b2048, pallas, pallas_fused, pallas_f32blur,
+pallas256, rot_old, rot_packed, rot_two, blur_conv, blur_einsum
+(default: base two_shear).  Repeat variants for ABAB, e.g.
+``pallas pallas_fused pallas pallas_fused``.
 
 Prints one JSON line per variant.  Follows the platform rules in
 CLAUDE.md: vary an input per timed iteration, force completion with a
