@@ -35,6 +35,8 @@ def main(argv):
         from cervical_tpu.train.checkpoints import CheckpointManager
         import os
 
+        if "dataset" in args:  # docstring alias for --data.dataset_path
+            args.setdefault("data", {})["dataset_path"] = args.pop("dataset")
         cfg = load_config(SegTrainConfig, args.pop("config", None),
                           {k: v for k, v in args.items()
                            if k not in ("ckpt", "split")})
