@@ -64,3 +64,48 @@ def test_train_fusion_cli_on_synthetic(tmp_path, capsys):
           "--epoch0_no_step", "false"])
     out = capsys.readouterr().out
     assert "mean test accuracy over folds" in out
+
+
+def test_build_graphs_table_diagnosis_validation(tmp_path):
+    """Unmapped diagnosis strings raise a message naming the valid labels
+    (regression: they used to fall through to a cryptic int() ValueError)."""
+    import pandas as pd
+    from scripts.build_graphs import read_table
+    p = tmp_path / "patients.csv"
+    pd.DataFrame({"id": [1, 2], "age": [30, 40],
+                  "diagnosis": ["CIS", "Mild dysplasia"]}).to_csv(
+        p, index=False)
+    ids, ages, diagnosis = read_table(str(p))
+    assert diagnosis == {1: 0, 2: 1}
+
+    pd.DataFrame({"id": [1], "age": [30],
+                  "diagnosis": ["Carcinoma in situ"]}).to_csv(p, index=False)
+    with pytest.raises(SystemExit, match="Mild dysplasia"):
+        read_table(str(p))
+
+    pd.DataFrame({"id": [1], "age": [30], "diagnosis": [3]}).to_csv(
+        p, index=False)
+    assert read_table(str(p))[2] == {1: 3}
+
+
+def test_eval_miou_dataset_alias(tmp_path, capsys):
+    """--dataset (the docstring's usage) maps to data.dataset_path."""
+    from scripts.eval_miou import main
+    from cervical_tpu.data.voc import make_synthetic_voc
+    from cervical_tpu.config import SegTrainConfig, SegDataConfig
+    from cervical_tpu.train.seg_trainer import SegTrainer
+    from cervical_tpu.train.checkpoints import CheckpointManager
+
+    root = make_synthetic_voc(str(tmp_path / "voc"), num_images=8, size=32)
+    cfg = SegTrainConfig(data=SegDataConfig(input_shape=(32, 32)),
+                         backbone="mobilenet", dtype="float32",
+                         save_dir=str(tmp_path / "logs"))
+    trainer = SegTrainer(cfg)
+    mgr = CheckpointManager(cfg.save_dir, 10)
+    mgr._save("best_epoch_weights", trainer.state)
+    main(["--dataset", root, "--ckpt",
+          os.path.join(cfg.save_dir, "best_epoch_weights"),
+          "--backbone", "mobilenet", "--data.input_shape", "[32,32]",
+          "--dtype", "float32", "--eval_batch_size", "4"])
+    out = capsys.readouterr().out
+    assert "mIoU" in out
