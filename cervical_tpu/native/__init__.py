@@ -49,6 +49,7 @@ def get_lib():
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int,
             ]
             _lib = lib
         except Exception as e:  # pragma: no cover - toolchain-dependent
@@ -74,10 +75,12 @@ def default_threads() -> int:
 
 def load_batch(jpg_paths: Sequence[str], png_paths: Optional[Sequence[str]],
                stage_hw, num_threads: Optional[int] = None,
-               mask_cache: bool = True):
+               mask_cache: bool = True, planar: bool = False):
     """Decode a batch of (jpeg, png-mask) pairs into fresh numpy arrays.
 
-    Returns (images (N, H, W, 3) uint8, labels (N, H, W) uint8, n_failures).
+    Returns (images (N, H, W, 3) uint8 — or (N, 3, H, W) with ``planar``,
+    the layout the pallas warp backend consumes without an on-device
+    transpose — labels (N, H, W) uint8, n_failures).
     ``png_paths=None`` skips masks (labels returned zeroed).
     ``mask_cache``: write/read uncompressed ``<png>.rawmask`` sidecars —
     PNG inflate dominates mask decode on small hosts (docs/ROADMAP.md),
@@ -91,7 +94,7 @@ def load_batch(jpg_paths: Sequence[str], png_paths: Optional[Sequence[str]],
         num_threads = default_threads()
     n = len(jpg_paths)
     h, w = stage_hw
-    imgs = np.empty((n, h, w, 3), np.uint8)
+    imgs = np.empty((n, 3, h, w) if planar else (n, h, w, 3), np.uint8)
     lbls = np.zeros((n, h, w), np.uint8)
     jarr = (ctypes.c_char_p * n)(*[p.encode() for p in jpg_paths])
     if png_paths is None:
@@ -102,5 +105,5 @@ def load_batch(jpg_paths: Sequence[str], png_paths: Optional[Sequence[str]],
         jarr, parr, n,
         imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         lbls.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        h, w, num_threads, int(mask_cache))
+        h, w, num_threads, int(mask_cache), int(planar))
     return imgs, lbls, int(failures)

@@ -97,8 +97,12 @@ bool decode_png_gray(const std::vector<uint8_t>& bytes, Image* img) {
   return true;
 }
 
-// bilinear (half-pixel) resize for RGB; nearest for masks
-void resize_rgb(const Image& src, uint8_t* dst, int oh, int ow) {
+// bilinear (half-pixel) resize for RGB; nearest for masks.
+// chan_stride/pix_stride select interleaved (1, 3) vs planar (oh*ow, 1)
+// output — the pallas warp backend consumes channel-planar batches
+// directly (skips the on-device NHWC->planar transpose).
+void resize_rgb(const Image& src, uint8_t* dst, int oh, int ow,
+                size_t chan_stride = 1, size_t pix_stride = 3) {
   for (int y = 0; y < oh; ++y) {
     float sy = (y + 0.5f) * src.h / oh - 0.5f;
     if (sy < 0) sy = 0;
@@ -120,7 +124,8 @@ void resize_rgb(const Image& src, uint8_t* dst, int oh, int ow) {
         float v11 = src.data[(size_t(y1) * src.w + x1) * 3 + ch];
         float v = v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy) +
                   v10 * (1 - fx) * fy + v11 * fx * fy;
-        dst[(size_t(y) * ow + x) * 3 + ch] = uint8_t(v + 0.5f);
+        dst[(size_t(y) * ow + x) * pix_stride + ch * chan_stride] =
+            uint8_t(v + 0.5f);
       }
     }
   }
@@ -211,14 +216,20 @@ void resize_nearest_gray(const Image& src, uint8_t* dst, int oh, int ow) {
 extern "C" {
 
 // Decode n (jpeg image, png mask) pairs into preallocated buffers:
-//   imgs: n * stage_h * stage_w * 3 uint8 (NHWC)
+//   imgs: n * stage_h * stage_w * 3 uint8 — NHWC, or channel-planar
+//         (n, 3, stage_h, stage_w) when planar != 0 (the layout the pallas
+//         warp backend consumes; free at decode time vs an on-device
+//         transpose)
 //   lbls: n * stage_h * stage_w uint8
 // use_mask_cache != 0 reads/writes uncompressed `<png>.rawmask` sidecars
-// (best-effort; stale sidecars are detected via the PNG's byte size).
+// (best-effort; stale sidecars are detected via the PNG's byte size+mtime).
 // Returns the number of failures (0 == all good). Failed slots are zeroed.
 int fill_batch(const char** jpg_paths, const char** png_paths, int n,
                uint8_t* imgs, uint8_t* lbls, int stage_h, int stage_w,
-               int num_threads, int use_mask_cache) {
+               int num_threads, int use_mask_cache, int planar) {
+  const size_t plane = size_t(stage_h) * stage_w;
+  const size_t chan_stride = planar ? plane : 1;
+  const size_t pix_stride = planar ? 1 : 3;
   std::atomic<int> failures{0};
   std::atomic<int> next{0};
   auto worker = [&]() {
@@ -232,9 +243,18 @@ int fill_batch(const char** jpg_paths, const char** png_paths, int n,
       bool ok = read_file(jpg_paths[i], &bytes) && decode_jpeg(bytes, &im);
       if (ok) {
         if (im.h == stage_h && im.w == stage_w) {
-          memcpy(img_dst, im.data.data(), im.data.size());
+          if (planar) {
+            const uint8_t* s = im.data.data();
+            for (size_t p = 0; p < plane; ++p) {
+              img_dst[p] = s[p * 3];
+              img_dst[plane + p] = s[p * 3 + 1];
+              img_dst[2 * plane + p] = s[p * 3 + 2];
+            }
+          } else {
+            memcpy(img_dst, im.data.data(), im.data.size());
+          }
         } else {
-          resize_rgb(im, img_dst, stage_h, stage_w);
+          resize_rgb(im, img_dst, stage_h, stage_w, chan_stride, pix_stride);
         }
       } else {
         memset(img_dst, 0, size_t(stage_h) * stage_w * 3);

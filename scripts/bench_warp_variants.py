@@ -60,7 +60,8 @@ def full_pipeline(batch, size, two_shear):
     return batch / dt
 
 
-def full_pipeline_pallas(batch, size, fused=True, blur_dtype=None):
+def full_pipeline_pallas(batch, size, fused=True, blur_dtype=None,
+                         planar=False):
     # same sampling protocol as ``full_pipeline`` (capacity prefix/suffix),
     # but through the Mosaic kernels (ops/pallas_warp.py) — re-opened by
     # scripts/probe_pallas.py showing in-kernel dot at XLA parity (round 1
@@ -68,7 +69,8 @@ def full_pipeline_pallas(batch, size, fused=True, blur_dtype=None):
     from cervical_tpu.ops import augment as A
     from cervical_tpu.ops import pallas_warp as PW
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.integers(0, 256, (batch, size, size, 3)), jnp.uint8)
+    shape = (batch, 3, size, size) if planar else (batch, size, size, 3)
+    images = jnp.asarray(rng.integers(0, 256, shape), jnp.uint8)
     labels = jnp.asarray(rng.integers(0, 5, (batch, size, size)), jnp.uint8)
     cap = batch // 4
 
@@ -79,7 +81,7 @@ def full_pipeline_pallas(batch, size, fused=True, blur_dtype=None):
         params = A.sample_augment_params(key, batch, rotate_prefix=cap,
                                          blur_suffix=cap)
         return PW.augment_batch_pallas(images, labels, params, (size, size),
-                                       fused=fused, **kw)
+                                       fused=fused, planar=planar, **kw)
 
     keys = jax.random.split(jax.random.PRNGKey(0), 256)
     dt, _ = timed(pipe, lambda i: (images, labels, keys[i % 256]))
@@ -132,6 +134,8 @@ def main():
             ips = full_pipeline_pallas(1024, 512, fused=False)
         elif v == "pallas_fused":
             ips = full_pipeline_pallas(1024, 512, fused=True)
+        elif v == "pallas_planar":
+            ips = full_pipeline_pallas(1024, 512, fused=False, planar=True)
         elif v == "pallas_f32blur":
             ips = full_pipeline_pallas(1024, 512, fused=False,
                                        blur_dtype=jnp.float32)

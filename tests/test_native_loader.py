@@ -141,3 +141,19 @@ def test_mask_sidecar_mtime_detects_size_collision(tmp_path):
     _, l3, f3 = native.load_batch([jp], [pp], (32, 32))
     assert f3 == 0
     np.testing.assert_array_equal(l3[0], msk_old)
+
+
+def test_native_planar_layout(voc_root):
+    """planar=True returns (N, 3, H, W) == transpose of the NHWC batch,
+    for both the memcpy (native-size) and resize paths."""
+    ids = read_split(voc_root, "train")
+    ds = VOCSegDataset(voc_root, ids, stage_hw=(48, 48))
+    jpgs, pngs = zip(*(ds.paths(i) for i in range(4)))
+    for hw in ((48, 48), (32, 32)):  # native size (memcpy) + resize path
+        nhwc, lbl_a, f_a = native.load_batch(list(jpgs), list(pngs), hw)
+        plan, lbl_b, f_b = native.load_batch(list(jpgs), list(pngs), hw,
+                                             planar=True)
+        assert f_a == f_b == 0
+        assert plan.shape == (4, 3) + hw
+        np.testing.assert_array_equal(plan, nhwc.transpose(0, 3, 1, 2))
+        np.testing.assert_array_equal(lbl_a, lbl_b)

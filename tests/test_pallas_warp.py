@@ -154,3 +154,19 @@ def test_full_params_matches_einsum_backend():
     assert d.mean() < 1.0
     assert (d > 4.0).mean() < 0.01
     assert (np.asarray(el) != np.asarray(pl)).mean() < 0.01
+
+
+def test_planar_input_matches_nhwc():
+    """planar=True consumes the native loader's (B, 3, H, W) layout and
+    must produce bit-identical output to the NHWC path."""
+    images, labels = _data(11)
+    params = A.sample_augment_params(jax.random.PRNGKey(13), B,
+                                     rotate_prefix=B // 2, blur_suffix=B // 2)
+    ni, nl = PW.augment_batch_pallas(images, labels, params, (S, S),
+                                     interpret=True)
+    pi, pl_ = PW.augment_batch_pallas(jnp.transpose(images, (0, 3, 1, 2)),
+                                      labels, params, (S, S),
+                                      interpret=True, planar=True)
+    np.testing.assert_array_equal(np.asarray(ni, np.float32),
+                                  np.asarray(pi, np.float32))
+    np.testing.assert_array_equal(np.asarray(nl), np.asarray(pl_))
