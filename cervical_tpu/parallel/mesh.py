@@ -66,18 +66,41 @@ def shard_batch(mesh: Mesh, batch, batch_axis: int = 0):
     'data' (axes before it are replicated — e.g. the K axis of stacked
     multi-step batches).
 
-    Arrays whose batch dim doesn't divide the data-axis size (ragged final
-    eval batches) are replicated instead — correctness over placement.
+    Single-process: each array is the full global batch.  Multi-process:
+    each process passes its LOCAL slice (from :func:`local_batch_slice` /
+    ``host_local_batches``) and the result is a global ``jax.Array``
+    assembled via ``jax.make_array_from_process_local_data`` — the
+    DistributedSampler-equivalent contract (train.py:496-499), exercised
+    for real by the two-process SPMD test (tests/test_multihost.py).
+
+    Arrays whose batch dim doesn't divide this process's share of the
+    data axis (ragged final eval batches) are replicated instead —
+    correctness over placement.
     """
     n_data = mesh.shape["data"]
+    n_proc = jax.process_count()
+    local_div = n_data // n_proc  # data-axis devices owned by this process
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim > batch_axis and x.shape[batch_axis] % n_data == 0:
+        ok = (x.ndim > batch_axis and local_div > 0
+              and x.shape[batch_axis] % local_div == 0)
+        if n_proc == 1:
+            if ok:
+                spec = [None] * x.ndim
+                spec[batch_axis] = "data"
+                return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+            return jax.device_put(x, replicated_sharding(mesh))
+        if ok:  # pragma: no cover - multihost (tests/test_multihost.py)
             spec = [None] * x.ndim
             spec[batch_axis] = "data"
-            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
-        return jax.device_put(x, replicated_sharding(mesh))
+            gshape = list(x.shape)
+            gshape[batch_axis] *= n_proc
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P(*spec)), x, tuple(gshape))
+        # pragma: no cover - multihost: identical array on every process
+        return jax.make_array_from_process_local_data(
+            replicated_sharding(mesh), x, x.shape)
     return jax.tree_util.tree_map(put, batch)
 
 

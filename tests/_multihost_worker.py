@@ -1,0 +1,80 @@
+"""Subprocess worker for the TRUE multi-process SPMD test
+(tests/test_multihost.py).  Each worker is one "host": 4 forced CPU
+devices, joined into an 8-device global mesh via jax.distributed (the
+reference's DDP/NCCL world, train.py:288-294); collectives run over Gloo.
+
+Run: python tests/_multihost_worker.py <pid> <nproc> <port>
+"""
+
+import os
+import sys
+
+
+def main(pid: int, nproc: int, port: int) -> None:
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"localhost:{port}", num_processes=nproc,
+                               process_id=pid)
+    import numpy as np
+    import jax.numpy as jnp  # noqa: F401
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from cervical_tpu.parallel import (make_mesh, shard_batch, barrier,
+                                       local_batch_slice)
+    from cervical_tpu.data.pipeline import host_local_batches
+
+    assert jax.process_count() == nproc
+    assert jax.device_count() == 4 * nproc, jax.device_count()
+    assert jax.local_device_count() == 4
+    mesh = make_mesh()  # all global devices -> ('data', 'model') = (8, 1)
+
+    # --- DDP/SyncBN semantics: statistics over the GLOBAL batch under jit
+    # (each process contributes only its local slice; XLA inserts the
+    # cross-process collectives) ---
+    rng = np.random.default_rng(0)  # same global batch on every process
+    gx = rng.normal(size=(8, 16)).astype(np.float32)
+    local = gx[local_batch_slice(8, mesh)]
+    assert local.shape == (4, 16)
+    xs = shard_batch(mesh, local)
+    assert xs.shape == (8, 16)  # global array assembled from local slices
+
+    @jax.jit
+    def stats(x):
+        return x.mean(), (x * x).sum()
+
+    m, ss = stats(xs)
+    np.testing.assert_allclose(float(m), gx.mean(), rtol=1e-6)
+    np.testing.assert_allclose(float(ss), (gx * gx).sum(), rtol=1e-5)
+
+    # --- exact ragged eval across processes: weight-0 padding, then the
+    # weighted reduction sees only the 5 real rows ---
+    ys = np.arange(5, dtype=np.float32)
+    out = list(host_local_batches([(gx[:5], ys)], mesh, with_weights=True))
+    (lx, ly, lw), = out
+    # global padded 5 -> 16 (divisible by n_proc * n_data), 8 rows/process
+    assert lx.shape[0] == 8 and lw.shape == (8,)
+    g = shard_batch(mesh, (lx, ly, lw))
+
+    @jax.jit
+    def weighted(x, y, w):
+        return w.sum(), (y * w).sum(), (x.sum(axis=1) * w).sum()
+
+    c, ysum, xsum = weighted(*g)
+    assert float(c) == 5.0, float(c)
+    np.testing.assert_allclose(float(ysum), ys.sum(), rtol=1e-6)
+    np.testing.assert_allclose(float(xsum), gx[:5].sum(), rtol=1e-5)
+
+    # --- replicated fallback (ragged batch that can't shard) ---
+    r = shard_batch(mesh, np.ones((3, 2), np.float32))
+    assert r.shape == (3, 2)
+    np.testing.assert_allclose(float(jax.jit(lambda a: a.sum())(r)), 6.0)
+
+    barrier("multihost-test")
+    print(f"proc {pid}: MULTIHOST OK", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))
