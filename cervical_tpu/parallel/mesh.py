@@ -38,6 +38,45 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
 
 
+def initialize_from_cli(argv):
+    """Consume multihost launch flags from a CLI argv (the reference's
+    ``dist.init_process_group`` + RANK/LOCAL_RANK env dance,
+    train.py:288-294) and initialize jax.distributed BEFORE any backend
+    use.  Returns the remaining argv.
+
+    ``--multihost true``                       TPU-pod auto-detection
+    ``--coordinator host:port --num_processes N --process_id I``
+                                               explicit (CPU/GPU clusters;
+                                               see tests/_multihost_worker.py)
+    """
+    argv = list(argv)
+
+    def pop(flag):
+        if flag in argv:
+            i = argv.index(flag)
+            v = argv[i + 1]
+            del argv[i:i + 2]
+            return v
+        return None
+
+    coord = pop("--coordinator")
+    nproc = pop("--num_processes")
+    pid = pop("--process_id")
+    auto = pop("--multihost")
+    if auto and auto.lower() in ("1", "true", "yes"):
+        jax.distributed.initialize()  # pragma: no cover - real pods only
+    elif coord:
+        initialize_multihost(coord, int(nproc), int(pid))
+    return argv
+
+
+def is_primary() -> bool:
+    """True on the process that owns file outputs (rank-0 guard — the
+    reference wraps LossHistory/checkpoints in ``local_rank == 0``,
+    train.py:353-359; utils_fit.py:185-198)."""
+    return jax.process_index() == 0
+
+
 def make_mesh(num_devices: Optional[int] = None, model_parallel: int = 1,
               devices=None) -> Mesh:
     """('data', 'model') mesh over the first ``num_devices`` devices."""

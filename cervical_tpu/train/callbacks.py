@@ -17,12 +17,17 @@ class LossHistory:
     optional matplotlib curve (savgol-smoothed when scipy is present)."""
 
     def __init__(self, log_dir: str, use_tensorboard: bool = True):
+        from cervical_tpu.parallel import is_primary
         self.log_dir = log_dir
-        os.makedirs(log_dir, exist_ok=True)
+        # rank-0 guard: only the primary process writes logs/plots (the
+        # reference's local_rank==0 LossHistory, train.py:353-359)
+        self._primary = is_primary()
+        if self._primary:
+            os.makedirs(log_dir, exist_ok=True)
         self.losses = []
         self.val_losses = []
         self.writer = None
-        if use_tensorboard:
+        if use_tensorboard and self._primary:
             try:
                 from tensorboardX import SummaryWriter
                 self.writer = SummaryWriter(log_dir)
@@ -32,6 +37,8 @@ class LossHistory:
     def append_loss(self, epoch: int, loss: float, val_loss: float):
         self.losses.append(loss)
         self.val_losses.append(val_loss)
+        if not self._primary:
+            return
         for name, v in (("epoch_loss", loss), ("epoch_val_loss", val_loss)):
             with open(os.path.join(self.log_dir, name + ".txt"), "a") as f:
                 f.write(f"{v}\n")
@@ -41,6 +48,8 @@ class LossHistory:
         self.loss_plot()
 
     def loss_plot(self):
+        if not self._primary:
+            return
         try:
             import matplotlib
             matplotlib.use("Agg")
@@ -79,10 +88,13 @@ class FusionHistory:
 
     def __init__(self, log_dir: str, seed: int, fold: int,
                  milestones=(20, 50, 100, 150, 180)):
+        from cervical_tpu.parallel import is_primary
         self.log_dir = log_dir
         self.tag = f"seed{seed}_fold{fold}"
         self.milestones = set(milestones)
-        os.makedirs(log_dir, exist_ok=True)
+        self._primary = is_primary()
+        if self._primary:
+            os.makedirs(log_dir, exist_ok=True)
         self.train_loss, self.val_loss = [], []
         self.train_acc, self.val_acc = [], []
 
@@ -92,6 +104,8 @@ class FusionHistory:
         self.val_loss.append(val_loss)
         self.train_acc.append(train_acc)
         self.val_acc.append(val_acc)
+        if not self._primary:
+            return
         with open(os.path.join(self.log_dir, f"{self.tag}_metrics.txt"), "a") as f:
             f.write(f"{epoch}\t{train_loss:.6f}\t{val_loss:.6f}\t"
                     f"{train_acc:.4f}\t{val_acc:.4f}\n")
@@ -99,6 +113,8 @@ class FusionHistory:
             self.plot(epoch + 1)
 
     def plot(self, epoch: Optional[int] = None):
+        if not self._primary:
+            return
         try:
             import matplotlib
             matplotlib.use("Agg")
@@ -140,11 +156,14 @@ class PredictorMiouCallback:
 
     def __init__(self, log_dir: str, dataset, period: int = 10,
                  max_images: Optional[int] = None):
+        from cervical_tpu.parallel import is_primary
         self.log_dir = log_dir
         self.ds = dataset
         self.period = period
         self.max_images = max_images
-        os.makedirs(log_dir, exist_ok=True)
+        self._primary = is_primary()
+        if self._primary:
+            os.makedirs(log_dir, exist_ok=True)
         self.epochs = [0]
         self.mious = [0.0]
         self._predictor = None
@@ -177,9 +196,10 @@ class PredictorMiouCallback:
         miou = M.summarize_hist(hist)["miou"]
         self.epochs.append(epoch + 1)
         self.mious.append(miou)
-        with open(os.path.join(self.log_dir,
-                               "epoch_miou_predictor.txt"), "a") as f:
-            f.write(f"{miou}\n")
+        if self._primary:
+            with open(os.path.join(self.log_dir,
+                                   "epoch_miou_predictor.txt"), "a") as f:
+                f.write(f"{miou}\n")
         log(f"predictor-path mIoU (original resolution, {n} images): "
             f"{miou:.4f}")
         return miou
@@ -190,9 +210,12 @@ class MiouHistory:
     (callbacks.py:176-197)."""
 
     def __init__(self, log_dir: str, period: int = 10):
+        from cervical_tpu.parallel import is_primary
         self.log_dir = log_dir
         self.period = period
-        os.makedirs(log_dir, exist_ok=True)
+        self._primary = is_primary()
+        if self._primary:
+            os.makedirs(log_dir, exist_ok=True)
         self.epochs = [0]
         self.mious = [0.0]
 
@@ -202,6 +225,8 @@ class MiouHistory:
     def append(self, epoch: int, miou: float):
         self.epochs.append(epoch + 1)
         self.mious.append(miou)
+        if not self._primary:
+            return
         with open(os.path.join(self.log_dir, "epoch_miou.txt"), "a") as f:
             f.write(f"{miou}\n")
         try:

@@ -48,7 +48,11 @@ class CheckpointManager:
 
     def _save(self, name: str, state, extra=None):
         path = os.path.join(self.save_dir, name)
-        self._ckpt.save(path, _to_pytree(state, extra), force=True)
+        # rank-0 guard: params are replicated, so only the primary process
+        # writes (the reference's local_rank==0 saves, utils_fit.py:185-198)
+        from cervical_tpu.parallel import is_primary
+        if is_primary():
+            self._ckpt.save(path, _to_pytree(state, extra), force=True)
         return path
 
     def on_epoch_end(self, epoch: int, state, train_loss: float,

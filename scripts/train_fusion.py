@@ -16,6 +16,8 @@ sys.path.insert(0, ".")
 
 
 def main(argv):
+    from cervical_tpu.parallel import initialize_from_cli
+    argv = initialize_from_cli(argv)  # multihost flags, before backend use
     from cervical_tpu.config import (FusionTrainConfig, load_config,
                                      parse_cli_overrides)
     from cervical_tpu.data.fusion_data import load_npz

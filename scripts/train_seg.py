@@ -14,6 +14,11 @@ sys.path.insert(0, ".")
 
 
 def main(argv):
+    from cervical_tpu.parallel import initialize_from_cli
+    # multihost launch flags (--multihost true | --coordinator host:port
+    # --num_processes N --process_id I) must initialize jax.distributed
+    # BEFORE any backend use (train.py:288-294)
+    argv = initialize_from_cli(argv)
     from cervical_tpu.config import (SegTrainConfig, load_config,
                                      parse_cli_overrides)
     from cervical_tpu.data.voc import VOCSegDataset, read_split

@@ -18,7 +18,7 @@ def main(pid: int, nproc: int, port: int) -> None:
     jax.distributed.initialize(f"localhost:{port}", num_processes=nproc,
                                process_id=pid)
     import numpy as np
-    import jax.numpy as jnp  # noqa: F401
+    import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -71,6 +71,39 @@ def main(pid: int, nproc: int, port: int) -> None:
     r = shard_batch(mesh, np.ones((3, 2), np.float32))
     assert r.shape == (3, 2)
     np.testing.assert_allclose(float(jax.jit(lambda a: a.sum())(r)), 6.0)
+
+    # --- a REAL train step across the process boundary (DDP parity):
+    # each process contributes its local half of the global batch; the
+    # gradient all-reduce must leave BOTH processes with identical params
+    # (the parent compares the printed checksums) ---
+    from cervical_tpu.config import FusionTrainConfig
+    from cervical_tpu.train.fusion_trainer import FusionTrainer
+    from cervical_tpu.data.fusion_data import make_synthetic_fusion
+    from cervical_tpu.data.masks import generate_modal_masks
+
+    fcfg = FusionTrainConfig(in_features=16, hidden=64, epochs=1,
+                             epoch0_no_step=False)
+    ftrainer = FusionTrainer(fcfg)
+    ds = make_synthetic_fusion(num_patients=8, feature_dim=16, seed=1)
+    sl = local_batch_slice(8, mesh)
+    feats = {mod: shard_batch(mesh, np.asarray(v)[sl])
+             for mod, v in ds["feats"].items()}
+    labels = shard_batch(mesh, np.asarray(ds["labels"])[sl])
+    w = shard_batch(mesh, np.ones(4, np.float32))
+    state = ftrainer.init_state(
+        {mod: np.asarray(v[:1]) for mod, v in ds["feats"].items()},
+        jax.random.PRNGKey(1))
+    mask = shard_batch(
+        mesh, np.asarray(generate_modal_masks(jax.random.PRNGKey(2), 8, 4))[sl])
+    step = ftrainer.train_step_fn()
+    state, metrics = step(state, feats, labels, mask, jnp.asarray(1e-3),
+                          jnp.asarray(True), jax.random.PRNGKey(3), w)
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss)
+    leaves = jax.tree_util.tree_leaves(state["params"])
+    checksum = float(sum(jnp.asarray(l, jnp.float32).sum() for l in leaves))
+    print(f"proc {pid}: step loss {loss:.6f} checksum {checksum:.6f}",
+          flush=True)
 
     barrier("multihost-test")
     print(f"proc {pid}: MULTIHOST OK", flush=True)
