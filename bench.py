@@ -95,15 +95,32 @@ def bench_augmentation(batch=1024, size=512, iters=12, windows=3, warmup=6):
 
 
 def main():
+    import os
+    import sys
+
     target = 10_000.0
     # value = MEDIAN window (honest against the documented tunnel drift);
     # best window reported alongside (round-1 VERDICT item 8)
-    ips, best = bench_augmentation(windows=5)
+    backend = os.environ.get("CERVICAL_BENCH_BACKEND", "pallas")
+    try:
+        ips, best = bench_augmentation(windows=5)
+    except Exception as e:
+        if backend == "einsum":
+            raise
+        # the pallas path depends on the platform's Mosaic toolchain, which
+        # regressed once before (round 1: ~1000x below roofline) — if it
+        # breaks again, fall back to the einsum/barrel backend rather than
+        # reporting nothing
+        print(f"pallas backend failed ({type(e).__name__}); "
+              "falling back to einsum", file=sys.stderr)
+        os.environ["CERVICAL_BENCH_BACKEND"] = backend = "einsum"
+        ips, best = bench_augmentation(windows=5)
     print(json.dumps({
         "metric": "augmented 512x512 images/sec/chip (fused train-time preprocessing)",
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "best": round(best, 1),
+        "backend": backend,
         "vs_baseline": round(ips / target, 3),
     }))
 
