@@ -105,6 +105,44 @@ def main(pid: int, nproc: int, port: int) -> None:
     print(f"proc {pid}: step loss {loss:.6f} checksum {checksum:.6f}",
           flush=True)
 
+    # --- the REAL SegTrainer epoch across processes: loader -> per-process
+    # slicing -> prefetch -> scanned train steps -> exact ragged eval.
+    # Same synthetic dataset content on every process (fixed seed); each
+    # process trains on its half of every global batch. ---
+    import tempfile
+    from cervical_tpu.config import SegTrainConfig, SegDataConfig
+    from cervical_tpu.data.voc import (VOCSegDataset, BatchLoader,
+                                       make_synthetic_voc, read_split)
+    from cervical_tpu.train.seg_trainer import SegTrainer
+
+    tmp = tempfile.mkdtemp(prefix=f"mhvoc{pid}_")
+    root = make_synthetic_voc(tmp, num_images=32, size=64)
+    cfg = SegTrainConfig(
+        data=SegDataConfig(input_shape=(64, 64), num_classes=5),
+        backbone="mobilenet", dtype="float32", steps_per_call=2,
+        pipeline_depth=2, eval_batch_size=16, save_dir=tmp)
+    trainer = SegTrainer(cfg, rng=jax.random.PRNGKey(0), mesh=mesh)
+    ids = read_split(root, "train") + read_split(root, "val") \
+        + read_split(root, "test")
+    ds = VOCSegDataset(root, sorted(ids), stage_hw=(64, 64))
+    train_loader = BatchLoader(ds, 16, num_workers=1, seed=0)
+    # ragged eval: 32 images at eval bs 16 with the last batch truncated
+    # to 8 by using only 24 ids
+    eval_ds = VOCSegDataset(root, sorted(ids)[:24], stage_hw=(64, 64))
+    val_loader = BatchLoader(eval_ds, 16, num_workers=1, seed=0,
+                             shuffle=False, drop_last=False)
+    res = trainer.run_epoch(train_loader, val_loader, 0, frozen=False,
+                            lr=1e-3)
+    assert np.isfinite(res.train_loss) and np.isfinite(res.val_loss)
+    s = trainer.evaluate_miou(val_loader)
+    # every real pixel counted exactly once despite padding + slicing
+    assert s["hist"].sum() == 24 * 64 * 64, int(s["hist"].sum())
+    sleaves = jax.tree_util.tree_leaves(trainer.state.params)
+    seg_sum = float(sum(jnp.asarray(l, jnp.float32).sum() for l in sleaves))
+    print(f"proc {pid}: seg epoch loss {res.train_loss:.6f} "
+          f"val {res.val_loss:.6f} miou {s['miou']:.6f} "
+          f"segsum {seg_sum:.6f}", flush=True)
+
     barrier("multihost-test")
     print(f"proc {pid}: MULTIHOST OK", flush=True)
 

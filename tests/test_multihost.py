@@ -23,13 +23,15 @@ def test_two_process_spmd():
         [sys.executable, worker, str(i), "2", str(port)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
         for i in range(2)]
-    outs = [p.communicate(timeout=600)[0].decode(errors="replace")
+    outs = [p.communicate(timeout=1200)[0].decode(errors="replace")
             for p in procs]
     for i, (p, o) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{o[-3000:]}"
         assert f"proc {i}: MULTIHOST OK" in o, o[-1000:]
     # the gradient all-reduce must leave both processes with IDENTICAL
-    # post-step parameters (the reference's DDP guarantee)
-    sums = [line.split("checksum")[1].strip()
-            for o in outs for line in o.splitlines() if "checksum" in line]
-    assert len(sums) == 2 and sums[0] == sums[1], sums
+    # post-step parameters (the reference's DDP guarantee) — for the raw
+    # fusion step AND for a full SegTrainer epoch
+    for tag in ("checksum", "segsum"):
+        sums = [line.split(tag)[1].strip().split()[0]
+                for o in outs for line in o.splitlines() if tag in line]
+        assert len(sums) == 2 and sums[0] == sums[1], (tag, sums)
