@@ -66,6 +66,9 @@ def initialize_from_cli(argv):
     if auto and auto.lower() in ("1", "true", "yes"):
         jax.distributed.initialize()  # pragma: no cover - real pods only
     elif coord:
+        if nproc is None or pid is None:
+            raise SystemExit("--coordinator requires --num_processes and "
+                             "--process_id")
         initialize_multihost(coord, int(nproc), int(pid))
     return argv
 
