@@ -63,3 +63,20 @@ def test_data_sharding_spec():
     sh = data_sharding(mesh, ndim=4)
     assert sh.spec[0] == "data"
     assert all(s is None for s in sh.spec[1:])
+
+
+def test_initialize_from_cli_flag_parsing():
+    """Launch flags are consumed (single-process: no init happens), other
+    argv passes through; partial explicit flags raise a clear error."""
+    import pytest
+    from cervical_tpu.parallel import initialize_from_cli
+
+    rest = initialize_from_cli(["--backbone", "mobilenet"])
+    assert rest == ["--backbone", "mobilenet"]
+
+    # --multihost false is consumed without initializing
+    rest = initialize_from_cli(["--multihost", "false", "--epochs", "3"])
+    assert rest == ["--epochs", "3"]
+
+    with pytest.raises(SystemExit, match="num_processes"):
+        initialize_from_cli(["--coordinator", "localhost:1234"])
