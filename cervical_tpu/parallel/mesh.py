@@ -52,11 +52,16 @@ def initialize_from_cli(argv):
     argv = list(argv)
 
     def pop(flag):
-        if flag in argv:
-            i = argv.index(flag)
-            v = argv[i + 1]
-            del argv[i:i + 2]
-            return v
+        for i, a in enumerate(argv):
+            if a == flag:
+                if i + 1 >= len(argv):
+                    raise SystemExit(f"{flag} requires a value")
+                v = argv[i + 1]
+                del argv[i:i + 2]
+                return v
+            if a.startswith(flag + "="):  # --flag=value form
+                del argv[i]
+                return a[len(flag) + 1:]
         return None
 
     coord = pop("--coordinator")
@@ -65,10 +70,13 @@ def initialize_from_cli(argv):
     auto = pop("--multihost")
     if auto and auto.lower() in ("1", "true", "yes"):
         jax.distributed.initialize()  # pragma: no cover - real pods only
-    elif coord:
-        if nproc is None or pid is None:
-            raise SystemExit("--coordinator requires --num_processes and "
-                             "--process_id")
+    elif coord or nproc is not None or pid is not None:
+        if not (coord and nproc is not None and pid is not None):
+            raise SystemExit(
+                "explicit multihost launch needs ALL of --coordinator "
+                "host:port, --num_processes N and --process_id I "
+                "(got coordinator={}, num_processes={}, process_id={})"
+                .format(coord, nproc, pid))
         initialize_multihost(coord, int(nproc), int(pid))
     return argv
 
@@ -140,9 +148,18 @@ def shard_batch(mesh: Mesh, batch, batch_axis: int = 0):
             gshape[batch_axis] *= n_proc
             return jax.make_array_from_process_local_data(
                 NamedSharding(mesh, P(*spec)), x, tuple(gshape))
-        # pragma: no cover - multihost: identical array on every process
-        return jax.make_array_from_process_local_data(
-            replicated_sharding(mesh), x, x.shape)
+        # Multi-process arrays that can't shard must NOT be silently
+        # treated as replicated: each process holds a *different* local
+        # slice, and a fake 'replicated' global array would make hosts
+        # silently diverge (no collective gets inserted).  Size batches
+        # divisibly, or use host_local_batches(with_weights=True), which
+        # pads every batch to a (process x data-axis)-divisible size.
+        raise ValueError(  # pragma: no cover - multihost misuse
+            f"multi-process shard_batch: local batch dim "
+            f"{x.shape[batch_axis] if x.ndim > batch_axis else None} is not "
+            f"divisible by this process's {local_div} data-axis devices; "
+            "pad via host_local_batches(with_weights=True) or size the "
+            "global batch divisibly")
     return jax.tree_util.tree_map(put, batch)
 
 

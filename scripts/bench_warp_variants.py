@@ -1,7 +1,7 @@
 """Profile augmentation-pipeline variants on the real TPU.
 
 Usage: python scripts/bench_warp_variants.py [variant ...]
-Variants: base, two_shear, b2048, pallas, pallas_fused, pallas_f32blur,
+Variants: base, two_shear, b2048, pallas, pallas_fused, pallas_planar,
 pallas256, rot_old, rot_packed, rot_two, blur_conv, blur_einsum
 (default: base two_shear).  Repeat variants for ABAB, e.g.
 ``pallas pallas_fused pallas pallas_fused``.
@@ -60,7 +60,7 @@ def full_pipeline(batch, size, two_shear):
     return batch / dt
 
 
-def full_pipeline_pallas(batch, size, fused=True, blur_dtype=None,
+def full_pipeline_pallas(batch, size, fused=False, blur_dtype=None,
                          planar=False):
     # same sampling protocol as ``full_pipeline`` (capacity prefix/suffix),
     # but through the Mosaic kernels (ops/pallas_warp.py) — re-opened by
@@ -136,9 +136,6 @@ def main():
             ips = full_pipeline_pallas(1024, 512, fused=True)
         elif v == "pallas_planar":
             ips = full_pipeline_pallas(1024, 512, fused=False, planar=True)
-        elif v == "pallas_f32blur":
-            ips = full_pipeline_pallas(1024, 512, fused=False,
-                                       blur_dtype=jnp.float32)
         elif v == "pallas256":
             ips = full_pipeline_pallas(256, 512, fused=False)
         elif v == "rot_old":

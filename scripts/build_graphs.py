@@ -25,11 +25,13 @@ def read_table(path):
     from cervical_tpu.data.graphs import DIAGNOSIS_MAPPING
     ids = df[id_col].tolist()
     ages = dict(zip(ids, df[age_col].tolist()))
+    import math
     diagnosis = {}
     for i, d in zip(ids, df[diag_col].tolist()):
         if d in DIAGNOSIS_MAPPING:
             d = DIAGNOSIS_MAPPING[d]
-        elif not isinstance(d, (int, float)) or int(d) != d:
+        elif (not isinstance(d, (int, float)) or isinstance(d, bool)
+              or not math.isfinite(d) or int(d) != d):
             raise SystemExit(
                 f"patient {i!r}: diagnosis {d!r} is neither a class index "
                 f"nor one of {sorted(DIAGNOSIS_MAPPING)} "

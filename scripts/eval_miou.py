@@ -36,7 +36,9 @@ def main(argv):
         import os
 
         if "dataset" in args:  # docstring alias for --data.dataset_path
-            args.setdefault("data", {})["dataset_path"] = args.pop("dataset")
+            # an explicit --data.dataset_path wins over the alias
+            args.setdefault("data", {}).setdefault("dataset_path",
+                                                   args.pop("dataset"))
         cfg = load_config(SegTrainConfig, args.pop("config", None),
                           {k: v for k, v in args.items()
                            if k not in ("ckpt", "split")})

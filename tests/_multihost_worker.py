@@ -67,10 +67,16 @@ def main(pid: int, nproc: int, port: int) -> None:
     np.testing.assert_allclose(float(ysum), ys.sum(), rtol=1e-6)
     np.testing.assert_allclose(float(xsum), gx[:5].sum(), rtol=1e-5)
 
-    # --- replicated fallback (ragged batch that can't shard) ---
-    r = shard_batch(mesh, np.ones((3, 2), np.float32))
-    assert r.shape == (3, 2)
-    np.testing.assert_allclose(float(jax.jit(lambda a: a.sum())(r)), 6.0)
+    # --- non-divisible local batches must REFUSE to fake replication
+    # (each process holds a different slice; a silent 'replicated' global
+    # array would let hosts diverge with no collective) ---
+    try:
+        shard_batch(mesh, np.ones((3, 2), np.float32))
+    except ValueError as e:
+        assert "divisible" in str(e)
+    else:
+        raise AssertionError("non-divisible multi-process shard_batch "
+                             "should raise")
 
     # --- a REAL train step across the process boundary (DDP parity):
     # each process contributes its local half of the global batch; the

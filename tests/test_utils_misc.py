@@ -78,5 +78,16 @@ def test_initialize_from_cli_flag_parsing():
     rest = initialize_from_cli(["--multihost", "false", "--epochs", "3"])
     assert rest == ["--epochs", "3"]
 
-    with pytest.raises(SystemExit, match="num_processes"):
+    with pytest.raises(SystemExit, match="ALL of"):
         initialize_from_cli(["--coordinator", "localhost:1234"])
+
+    # any partial combo errors (not just coordinator-without-the-others)
+    with pytest.raises(SystemExit, match="ALL of"):
+        initialize_from_cli(["--num_processes", "2", "--process_id", "0"])
+
+    # --flag=value form is consumed too
+    rest = initialize_from_cli(["--multihost=false", "--epochs", "3"])
+    assert rest == ["--epochs", "3"]
+
+    with pytest.raises(SystemExit, match="requires a value"):
+        initialize_from_cli(["--process_id"])
