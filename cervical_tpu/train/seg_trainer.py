@@ -470,6 +470,40 @@ class SegTrainer:
         val_loader = loader_factory(val_ds, cfg.eval_batch_size, False)
         history = {"train_loss": [], "val_loss": [], "miou": []}
 
+        # Preemption-safe stop (SURVEY §5.3 — the reference has only manual
+        # resume, train.py:109-110): SIGTERM/SIGINT request a graceful stop;
+        # the loop finishes the in-flight epoch, checkpoints
+        # last_epoch_weights as usual, and returns. Resume later with
+        # cfg.init_epoch + CheckpointManager.restore. Handlers are only
+        # installable from the main thread; otherwise the flag can still be
+        # set via request_stop().
+        self._stop_requested = False
+        prev_handlers = {}
+
+        def _request_stop(signum, frame):  # pragma: no cover - signal path
+            self._stop_requested = True
+            log(f"signal {signum}: finishing the current epoch, "
+                "checkpointing, and stopping")
+
+        import signal
+        import threading
+        if threading.current_thread() is threading.main_thread():
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                prev_handlers[sig] = signal.signal(sig, _request_stop)
+
+        try:
+            self._fit_loop(cfg, total_epochs, loader_factory, train_ds,
+                           val_ds, frozen, batch_size, schedule,
+                           train_loader, val_loader, history, loss_hist,
+                           miou_hist, pred_cb, ckpt, log)
+        finally:
+            for sig, h in prev_handlers.items():
+                signal.signal(sig, h)
+        return history
+
+    def _fit_loop(self, cfg, total_epochs, loader_factory, train_ds, val_ds,
+                  frozen, batch_size, schedule, train_loader, val_loader,
+                  history, loss_hist, miou_hist, pred_cb, ckpt, log):
         for epoch in range(cfg.init_epoch, total_epochs):
             if frozen and epoch >= cfg.freeze_epoch:
                 # unfreeze transition: batch size and scheduler rebuild
@@ -496,7 +530,16 @@ class SegTrainer:
                 f"loss={res.train_loss:.4f} val_loss={res.val_loss:.4f} "
                 f"f={res.train_f_score:.3f}/{res.val_f_score:.3f} "
                 f"({res.seconds:.1f}s)")
-        return history
+            if self._stop_requested:
+                log(f"stopped after epoch {epoch + 1} (preemption); "
+                    f"resume with init_epoch={epoch + 1} from "
+                    "last_epoch_weights")
+                break
+
+    def request_stop(self):
+        """Ask ``fit`` to stop gracefully at the next epoch boundary
+        (checkpointed as usual) — the programmatic preemption hook."""
+        self._stop_requested = True
 
     def evaluate_miou(self, loader, num_classes: Optional[int] = None) -> Dict:
         """Accumulate an on-device confusion matrix over a loader and

@@ -319,3 +319,25 @@ def test_run_epoch_steps_per_call(voc_root, tmp_path):
                             lr=1e-3)
     assert int(trainer.state.step) - before == n_batches
     assert np.isfinite(res.train_loss) and np.isfinite(res.val_loss)
+
+
+def test_fit_graceful_stop_checkpoints_and_resumes(voc_root, tmp_path):
+    """A preemption request (request_stop / SIGTERM handler) finishes the
+    in-flight epoch, saves last_epoch_weights, and exits the loop; the
+    checkpoint resumes with the right epoch metadata (SURVEY §5.3)."""
+    from cervical_tpu.train.checkpoints import CheckpointManager
+
+    cfg = _cfg(tmp_path)
+    trainer = SegTrainer(cfg)
+    ids = read_split(voc_root, "train")
+    ds = VOCSegDataset(voc_root, ids, stage_hw=(48, 48))
+
+    def stopping_log(msg):
+        trainer.request_stop()
+
+    hist = trainer.fit(ds, ds, total_epochs=4, log=stopping_log)
+    assert len(hist["train_loss"]) == 1  # stopped after the first epoch
+    mgr = CheckpointManager(cfg.save_dir, cfg.save_period)
+    state, extra = mgr.restore("last_epoch_weights", trainer.state)
+    assert extra["epoch"] == 0
+    assert int(state.step) == int(trainer.state.step) > 0
