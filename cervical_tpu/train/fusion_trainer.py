@@ -322,10 +322,41 @@ class FusionTrainer:
         are written there (the reference's milestone-epoch PNG dumps,
         my_train(full).py:583-612) along with the best params (npz) — the
         reference keeps its best model only in memory, SURVEY.md §5.4.
+
+        Preemption-safe (SURVEY §5.3): SIGTERM/SIGINT (or
+        :meth:`request_stop`) stop the epoch loop, finalize the CURRENT
+        fold from its best-by-val params, and return the completed folds
+        (result carries ``stopped_early``).
         """
+        import signal
+        import threading
+
         cfg = self.cfg
         epochs = epochs or cfg.epochs
         labels = np.asarray(ds["labels"])
+        self._stop_requested = False
+        prev_handlers = {}
+
+        def _request_stop(signum, frame):  # pragma: no cover - signal path
+            self._stop_requested = True
+            log(f"signal {signum}: finalizing the current fold and stopping")
+
+        if threading.current_thread() is threading.main_thread():
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                prev_handlers[sig] = signal.signal(sig, _request_stop)
+        try:
+            return self._cross_validate(ds, epochs, labels, log, save_dir)
+        finally:
+            for sig, h in prev_handlers.items():
+                signal.signal(sig, h)
+
+    def request_stop(self):
+        """Ask ``cross_validate`` to stop gracefully (finalize the current
+        fold from best-by-val params, return completed results)."""
+        self._stop_requested = True
+
+    def _cross_validate(self, ds, epochs, labels, log, save_dir):
+        cfg = self.cfg
         # device-resident cohort: per-epoch batching becomes on-device
         # gathers (measured 26x faster epochs than host-sliced batches on the
         # target chip — 0.33 s for a 1792-patient 4-modal epoch)
@@ -355,6 +386,8 @@ class FusionTrainer:
                 test_ds = subset(ds, test_idx)
                 epoch_test = [] if cfg.per_epoch_test else None
                 for epoch in range(epochs):
+                    if self._stop_requested:
+                        break
                     lr = schedule(epoch)
                     state, rep = self.train_epoch(state, train_ds, epoch, lr)
                     # the reference evaluates BOTH test and val every epoch
@@ -397,7 +430,13 @@ class FusionTrainer:
                                      "test": final,
                                      "epoch_test": epoch_test})
                 log(f"seed {seed} fold {fold}: test acc {final['acc_all']:.3f}")
+                if self._stop_requested:
+                    break
             results.extend(fold_results)
+            if self._stop_requested:
+                log(f"stopped early after seed {seed} fold {fold} "
+                    f"({len(results)} folds completed)")
+                break
         mean_acc = float(np.mean([r["test"]["acc_all"] for r in results]))
         if save_dir:
             import json
@@ -417,6 +456,8 @@ class FusionTrainer:
             with open(os.path.join(save_dir, "cv_results.json"), "w") as f:
                 json.dump(clean({"folds": results,
                                  "mean_test_acc": mean_acc,
+                                 "stopped_early": self._stop_requested,
                                  "modalities": list(self.cfg.modalities)}),
                           f, indent=1)
-        return {"folds": results, "mean_test_acc": mean_acc}
+        return {"folds": results, "mean_test_acc": mean_acc,
+                "stopped_early": self._stop_requested}

@@ -160,3 +160,25 @@ def test_cross_validate_per_epoch_test_trajectory():
         assert [t["epoch"] for t in traj] == [0, 1]
         for t in traj:
             assert 0.0 <= t["acc_all"] <= 1.0 and np.isfinite(t["loss"])
+
+
+def test_cross_validate_graceful_stop():
+    """request_stop() finalizes the current fold from best-by-val params
+    and returns the completed folds with stopped_early set (SURVEY §5.3)."""
+    from cervical_tpu.config import FusionTrainConfig
+    from cervical_tpu.train.fusion_trainer import FusionTrainer
+    from cervical_tpu.data.fusion_data import make_synthetic_fusion
+
+    cfg = FusionTrainConfig(in_features=32, hidden=64, epochs=2, kfold=3,
+                            repeat_num=1, epoch0_no_step=False)
+    trainer = FusionTrainer(cfg)
+    ds = make_synthetic_fusion(num_patients=45, feature_dim=32, seed=3)
+
+    def stopping_log(msg):
+        if "test acc" in msg:  # first fold finalized
+            trainer.request_stop()
+
+    res = trainer.cross_validate(ds, log=stopping_log)
+    assert res["stopped_early"] is True
+    assert len(res["folds"]) == 1  # folds 1 and 2 never ran
+    assert np.isfinite(res["mean_test_acc"])
