@@ -86,7 +86,6 @@ class SegTrainConfig:
     head_conv_backend: str = ""
     num_devices: Optional[int] = None  # None = all visible
     eval_batch_size: int = 8
-    log_every: int = 50
     # max in-flight train/eval steps before the oldest step's metrics are
     # fetched: per-step dispatch costs ~30-70 ms host round-trip on the
     # target platform (docs/PLATFORM.md), so the epoch loop keeps a window
