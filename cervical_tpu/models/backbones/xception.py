@@ -25,10 +25,10 @@ _BN = dict(momentum=1.0 - 0.0003, epsilon=1e-5)
 
 
 class DepthwiseConv3x3(nn.Module):
-    """Depthwise 3x3 as 9 shifted multiply-adds (see ops/depthwise.py —
-    XLA's grouped conv runs ~10x below bandwidth on the target platform).
-    Parameter layout matches an HWIO grouped-conv kernel so torch weight
-    import is unchanged."""
+    """Depthwise 3x3 via ops/depthwise.py (XLA grouped conv by default —
+    the round-2 full-step ABAB reversed round 1's standalone-program
+    verdict; see that module's docstring).  Parameter layout matches an
+    HWIO grouped-conv kernel so torch weight import is unchanged."""
 
     stride: int = 1
     dilation: int = 1
