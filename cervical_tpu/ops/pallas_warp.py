@@ -470,7 +470,7 @@ def _blur2d(x, size: int):
 
 
 def _photometric_kernel(pparams_ref, img_ref, out_ref, *, size: int,
-                        blur_dtype=jnp.float32):
+                        blur_dtype=jnp.float32, blur_mode: str = "select"):
     b = pl.program_id(0)
     gh = pparams_ref[b, 0]
     gs = pparams_ref[b, 1]
@@ -492,13 +492,23 @@ def _photometric_kernel(pparams_ref, img_ref, out_ref, *, size: int,
     go = go.astype(blur_dtype)
     bo = bo.astype(blur_dtype)
 
-    # NOT predicated: unlike the rotation ladders, a lax.cond around the
-    # cheap separable 5x5 measured ~5% SLOWER end-to-end (21.8k vs 22.9k
-    # img/s ABAB) — the branch's operand/result copies cost more than the
-    # blur it skips on 75% of images
-    rb = jnp.where(do_blur > 0, _blur2d(ro, size), ro)
-    gb = jnp.where(do_blur > 0, _blur2d(go, size), go)
-    bb = jnp.where(do_blur > 0, _blur2d(bo, size), bo)
+    if blur_mode == "select":
+        # NOT predicated: unlike the rotation ladders, a lax.cond around the
+        # cheap separable 5x5 measured ~5% SLOWER end-to-end (21.8k vs 22.9k
+        # img/s ABAB) — the branch's operand/result copies cost more than the
+        # blur it skips on 75% of images.  (When the blur rides a fixed batch
+        # suffix, augment_batch_pallas(blur_capacity=K) splits the batch into
+        # "none"/"all" calls instead, removing both the wasted blur AND this
+        # select.)
+        rb = jnp.where(do_blur > 0, _blur2d(ro, size), ro)
+        gb = jnp.where(do_blur > 0, _blur2d(go, size), go)
+        bb = jnp.where(do_blur > 0, _blur2d(bo, size), bo)
+    elif blur_mode == "all":
+        rb = _blur2d(ro, size)
+        gb = _blur2d(go, size)
+        bb = _blur2d(bo, size)
+    else:  # "none"
+        rb, gb, bb = ro, go, bo
 
     inv255 = jnp.asarray(1.0 / 255.0, blur_dtype)
     out_ref[0, 0] = (rb * inv255).astype(out_ref.dtype)
@@ -507,19 +517,23 @@ def _photometric_kernel(pparams_ref, img_ref, out_ref, *, size: int,
 
 
 def photometric(images_planar, gains, blur_flags, interpret: bool = False,
-                out_dtype=jnp.bfloat16, blur_dtype=jnp.float32):
+                out_dtype=jnp.bfloat16, blur_dtype=jnp.float32,
+                blur_mode: str = "select"):
     """HSV gain jitter + conditional 5x5 blur + /255.
 
     ``images_planar``: (B, 3, S, S) float/bf16 in [0,255]; ``gains``: (B, 3);
     ``blur_flags``: (B,) bool.  Returns (B, 3, S, S) ``out_dtype`` in [0,1].
     ``blur_dtype=jnp.float32`` restores the all-f32 blur pipeline.
+    ``blur_mode``: "select" applies the blur per the flags (default); "all" /
+    "none" specialize the kernel at trace time (flags ignored) for callers
+    that pre-partition the batch by blur state.
     """
     b, c, s, _ = images_planar.shape
     pparams = jnp.concatenate(
         [gains.astype(jnp.float32),
          blur_flags.astype(jnp.float32)[:, None]], axis=-1)
     kernel = functools.partial(_photometric_kernel, size=s,
-                               blur_dtype=blur_dtype)
+                               blur_dtype=blur_dtype, blur_mode=blur_mode)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
@@ -542,11 +556,12 @@ def photometric(images_planar, gains, blur_flags, interpret: bool = False,
 @functools.partial(jax.jit, static_argnames=("dst_hw", "letterbox",
                                              "interpret", "normalized",
                                              "fused", "blur_dtype",
-                                             "planar"))
+                                             "planar", "blur_capacity"))
 def augment_batch_pallas(images, labels, params, dst_hw: Tuple[int, int],
                          letterbox: bool = False, interpret: bool = False,
                          normalized: bool = True, fused: bool = False,
-                         blur_dtype=jnp.float32, planar: bool = False):
+                         blur_dtype=jnp.float32, planar: bool = False,
+                         blur_capacity: int | None = None):
     """Drop-in fast path for :func:`cervical_tpu.ops.augment.augment_batch`.
 
     ``images``: (B, H, W, 3) uint8 — or, with ``planar=True``, (B, 3, H, W)
@@ -562,6 +577,17 @@ def augment_batch_pallas(images, labels, params, dst_hw: Tuple[int, int],
     ``fused=True`` runs geometry + photometric in ONE kernel — measured
     SLOWER (17.2k; the monolith loses cross-program pipelining and needs a
     48 MB scoped-vmem budget), kept for the record/perf re-probes.
+
+    ``blur_capacity``: if set, the caller guarantees that exactly the LAST
+    K samples blur (sample with ``sample_augment_params(blur_suffix=K)``)
+    and the photometric pass splits into a no-blur prefix call and an
+    always-blur suffix call — removing the 5x5 work the 75% non-blurring
+    images waste under the flag-select formulation, without the
+    ``lax.cond`` operand copies that made per-image predication lose.
+    Measured SLOWER (19.3-19.4k vs 22.8-23.2k img/s, ABAB
+    ``bench_warp_variants.py pallas pallas_bsplit ...``): the split's
+    second pallas launch + the (B,3,S,S) concatenate cost more than the
+    skipped blurs.  Kept (bit-exact, tested) for re-probes.
     """
     src_hw = tuple(images.shape[2:4] if planar else images.shape[1:3])
     wp = make_warp_params(params, src_hw, dst_hw, letterbox=letterbox)
@@ -582,9 +608,24 @@ def augment_batch_pallas(images, labels, params, dst_hw: Tuple[int, int],
             out = out * 255.0
     else:
         warped = warp_images(x, wp, out_size=dst_hw[0], interpret=interpret)
-        out = photometric(warped, params["gains"],
-                          params["blur"], interpret=interpret,
-                          blur_dtype=blur_dtype)
+        bcap = blur_capacity
+        if bcap is None or bcap <= 0 or bcap >= warped.shape[0]:
+            mode = "all" if (bcap is not None and
+                             bcap >= warped.shape[0]) else "select"
+            if bcap is not None and bcap <= 0:
+                mode = "none"
+            out = photometric(warped, params["gains"],
+                              params["blur"], interpret=interpret,
+                              blur_dtype=blur_dtype, blur_mode=mode)
+        else:
+            nb = warped.shape[0] - bcap
+            head = photometric(warped[:nb], params["gains"][:nb],
+                               params["blur"][:nb], interpret=interpret,
+                               blur_dtype=blur_dtype, blur_mode="none")
+            tail = photometric(warped[nb:], params["gains"][nb:],
+                               params["blur"][nb:], interpret=interpret,
+                               blur_dtype=blur_dtype, blur_mode="all")
+            out = jnp.concatenate([head, tail], axis=0)
         if not normalized:
             out = out * 255.0
     return jnp.transpose(out, (0, 2, 3, 1)), lbl

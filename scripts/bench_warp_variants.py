@@ -2,7 +2,8 @@
 
 Usage: python scripts/bench_warp_variants.py [variant ...]
 Variants: base, two_shear, b2048, pallas, pallas_fused, pallas_planar,
-pallas256, rot_old, rot_packed, rot_two, blur_conv, blur_einsum
+pallas256, pallas_scan2, pallas_scan3, pallas_bsplit, pallas_bsplit_scan2,
+pallas_bsplit_scan3, rot_old, rot_packed, rot_two, blur_conv, blur_einsum
 (default: base two_shear).  Repeat variants for ABAB, e.g.
 ``pallas pallas_fused pallas pallas_fused``.
 
@@ -88,6 +89,62 @@ def full_pipeline_pallas(batch, size, fused=False, blur_dtype=None,
     return batch / dt
 
 
+def full_pipeline_pallas_scan(batch, size, k, blur_capacity=None):
+    """K sub-batches per program via ``lax.scan`` — amortizes the fixed
+    per-program-execution cost (docs/PLATFORM.md round-2 probes: ~26-29 ms
+    serialized per execution in the chain probe, ~16 ms residual in the
+    warp-stage attribution).  Mirrors the training-side
+    ``steps_per_call`` design (make_train_step_scan).  The input batch is
+    reused across scan iterations (as the per-dispatch bench already reuses
+    it across dispatches); params vary per iteration via key folding, and
+    all K output batches materialize to HBM."""
+    from cervical_tpu.ops import augment as A
+    from cervical_tpu.ops import pallas_warp as PW
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (batch, size, size, 3)), jnp.uint8)
+    labels = jnp.asarray(rng.integers(0, 5, (batch, size, size)), jnp.uint8)
+    cap = batch // 4
+
+    @jax.jit
+    def pipe(images, labels, key):
+        def body(key, _):
+            key, sub = jax.random.split(key)
+            params = A.sample_augment_params(sub, batch, rotate_prefix=cap,
+                                             blur_suffix=cap)
+            out = PW.augment_batch_pallas(images, labels, params,
+                                          (size, size),
+                                          blur_capacity=blur_capacity)
+            return key, out
+        _, outs = jax.lax.scan(body, key, None, length=k)
+        return outs
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 256)
+    dt, _ = timed(pipe, lambda i: (images, labels, keys[i % 256]))
+    return k * batch / dt
+
+
+def full_pipeline_pallas_bsplit(batch, size):
+    """Blur on the fixed suffix via two specialized photometric calls
+    (no wasted 5x5 on the 75% non-blurring images, no flag select)."""
+    from cervical_tpu.ops import augment as A
+    from cervical_tpu.ops import pallas_warp as PW
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (batch, size, size, 3)), jnp.uint8)
+    labels = jnp.asarray(rng.integers(0, 5, (batch, size, size)), jnp.uint8)
+    cap = batch // 4
+
+    @jax.jit
+    def pipe(images, labels, key):
+        params = A.sample_augment_params(key, batch, rotate_prefix=cap,
+                                         blur_suffix=cap)
+        return PW.augment_batch_pallas(images, labels, params, (size, size),
+                                       blur_capacity=cap)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 256)
+    dt, _ = timed(pipe, lambda i: (images, labels, keys[i % 256]))
+    return batch / dt
+
+
 def rotation_only(batch, size, mode):
     from cervical_tpu.ops import augment as A
     from cervical_tpu.ops import warp_xla as WX
@@ -138,6 +195,16 @@ def main():
             ips = full_pipeline_pallas(1024, 512, fused=False, planar=True)
         elif v == "pallas256":
             ips = full_pipeline_pallas(256, 512, fused=False)
+        elif v == "pallas_scan2":
+            ips = full_pipeline_pallas_scan(1024, 512, 2)
+        elif v == "pallas_scan3":
+            ips = full_pipeline_pallas_scan(1024, 512, 3)
+        elif v == "pallas_bsplit":
+            ips = full_pipeline_pallas_bsplit(1024, 512)
+        elif v == "pallas_bsplit_scan2":
+            ips = full_pipeline_pallas_scan(1024, 512, 2, blur_capacity=256)
+        elif v == "pallas_bsplit_scan3":
+            ips = full_pipeline_pallas_scan(1024, 512, 3, blur_capacity=256)
         elif v == "rot_old":
             ips = rotation_only(256, 512, "old")
         elif v == "rot_packed":

@@ -156,6 +156,40 @@ def test_full_params_matches_einsum_backend():
     assert (np.asarray(el) != np.asarray(pl)).mean() < 0.01
 
 
+def test_blur_capacity_split_matches_select():
+    """blur_capacity=K (blur on the fixed batch suffix via specialized
+    "none"/"all" photometric calls) must be bit-identical to the
+    flag-select formulation when the flags are exactly the suffix."""
+    images, labels = _data(17)
+    cap = B // 2
+    params = A.sample_augment_params(jax.random.PRNGKey(21), B,
+                                     rotate_prefix=B // 2, blur_suffix=cap)
+    si, sl = PW.augment_batch_pallas(images, labels, params, (S, S),
+                                     interpret=True)
+    ci, cl = PW.augment_batch_pallas(images, labels, params, (S, S),
+                                     interpret=True, blur_capacity=cap)
+    np.testing.assert_array_equal(np.asarray(si, np.float32),
+                                  np.asarray(ci, np.float32))
+    np.testing.assert_array_equal(np.asarray(sl), np.asarray(cl))
+    # degenerate capacities collapse to single specialized calls
+    p_all = dict(params)
+    p_all["blur"] = jnp.ones(B, bool)
+    ai, _ = PW.augment_batch_pallas(images, labels, p_all, (S, S),
+                                    interpret=True, blur_capacity=B)
+    ri, _ = PW.augment_batch_pallas(images, labels, p_all, (S, S),
+                                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(ai, np.float32),
+                                  np.asarray(ri, np.float32))
+    p_none = dict(params)
+    p_none["blur"] = jnp.zeros(B, bool)
+    zi, _ = PW.augment_batch_pallas(images, labels, p_none, (S, S),
+                                    interpret=True, blur_capacity=0)
+    wi, _ = PW.augment_batch_pallas(images, labels, p_none, (S, S),
+                                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(zi, np.float32),
+                                  np.asarray(wi, np.float32))
+
+
 def test_planar_input_matches_nhwc():
     """planar=True consumes the native loader's (B, 3, H, W) layout and
     must produce bit-identical output to the NHWC path."""
