@@ -84,6 +84,11 @@ class SegTrainConfig:
     # conv lowering for the ASPP/decoder head only: "" = process default
     # ("lax"), "einsum" = im2col (ops/conv.py; ROADMAP item 2 experiment)
     head_conv_backend: str = ""
+    # run eval/val forwards with the fused pallas middle flow
+    # (ops/pallas_xception.py; xception only, eval-mode BN folded).  The
+    # train step keeps the flax path regardless (training BN needs
+    # cross-batch stats between the fused ops).
+    fused_middle_eval: bool = False
     num_devices: Optional[int] = None  # None = all visible
     eval_batch_size: int = 8
     # max in-flight train/eval steps before the oldest step's metrics are

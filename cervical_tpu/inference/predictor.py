@@ -41,10 +41,16 @@ class SegPredictor:
     """
 
     def __init__(self, cfg: SegTrainConfig, state, colors=None,
-                 conv_backend: str = "lax"):
+                 conv_backend: str = "lax", fused_middle: bool = False):
         from cervical_tpu.train.seg_trainer import build_model
         self.cfg = cfg
-        self.model = build_model(cfg)
+        # fused_middle: xception-only eval fast path — blocks 4-19 as one
+        # pallas kernel (ops/pallas_xception.py).  Exports always trace the
+        # plain flax model: pallas calls do not convert through jax2tf, and
+        # a StableHLO blob with an embedded Mosaic custom-call is not
+        # portable.
+        self.model = build_model(cfg, fused_middle=fused_middle)
+        self._export_model = build_model(cfg) if fused_middle else None
         self.state = state
         self.colors = colors or DEFAULT_COLORS
         # XLA convs win in full-model programs at every batch size measured
@@ -58,13 +64,18 @@ class SegPredictor:
         # retrace/recompile between epochs
         self._jit_forward = jax.jit(self._forward)
 
-    def _forward(self, params, batch_stats, images):
+    def _forward(self, params, batch_stats, images, model=None):
         from cervical_tpu.ops.conv import backend_scope
         with backend_scope(self.conv_backend):
-            logits = self.model.apply(
+            logits = (model or self.model).apply(
                 {"params": params, "batch_stats": batch_stats},
                 images, train=False)
         return jax.nn.softmax(logits, axis=-1)
+
+    def _export_forward(self, images):
+        """Inference fn for serialization — always the pure-XLA model."""
+        return self._forward(self.state.params, self.state.batch_stats,
+                             images, model=self._export_model or self.model)
 
     def _run(self, images):
         return self._jit_forward(self.state.params, self.state.batch_stats,
@@ -165,9 +176,7 @@ class SegPredictor:
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
         spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), dtype)
         # weights are embedded as constants in the exported blob (serving)
-        fwd = lambda x: self._forward(self.state.params,
-                                      self.state.batch_stats, x)
-        exported = jax_export.export(jax.jit(fwd))(spec)
+        exported = jax_export.export(jax.jit(self._export_forward))(spec)
         blob = exported.serialize()
         with open(path, "wb") as f:
             f.write(blob)
@@ -182,9 +191,7 @@ class SegPredictor:
 
         h, w = self.cfg.data.input_shape
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
-        fwd = lambda x: self._forward(self.state.params,
-                                       self.state.batch_stats, x)
-        fwd_tf = jax2tf.convert(fwd, with_gradient=False)
+        fwd_tf = jax2tf.convert(self._export_forward, with_gradient=False)
         module = tf.Module()
         module.f = tf.function(
             fwd_tf,

@@ -134,6 +134,12 @@ class XceptionBackbone(nn.Module):
 
     downsample_factor: int = 16
     dtype: Optional[jnp.dtype] = None
+    # eval-mode only: run blocks 4-19 as ONE fused pallas kernel
+    # (ops/pallas_xception.py) instead of ~160 XLA ops — the middle flow is
+    # per-op-latency-bound at 32^2 x 728 on the target platform
+    # (docs/PLATFORM.md).  Ignored during training/init (training BN needs
+    # cross-batch stats between the fused ops).
+    fused_middle: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -162,9 +168,17 @@ class XceptionBackbone(nn.Module):
                                name="block2")(x, train)
         x, _ = XceptionBlock(728, stride_list[1], dtype=self.dtype,
                              name="block3")(x, train)
-        for i in range(4, 20):
-            x, _ = XceptionBlock(728, 1, atrous=(rate, rate, rate),
-                                 dtype=self.dtype, name=f"block{i}")(x, train)
+        if self.fused_middle and not train and not self.is_initializing():
+            from cervical_tpu.ops.pallas_xception import (fold_middle_flow,
+                                                          middle_flow_eval)
+            folded = fold_middle_flow(self.variables, first=4, count=16,
+                                      compute_dtype=self.dtype or x.dtype)
+            x = middle_flow_eval(x, folded, dilation=rate)
+        else:
+            for i in range(4, 20):
+                x, _ = XceptionBlock(728, 1, atrous=(rate, rate, rate),
+                                     dtype=self.dtype,
+                                     name=f"block{i}")(x, train)
         x, _ = XceptionBlock(1024, stride_list[2], atrous=(rate, rate, rate),
                              grow_first=False, dtype=self.dtype,
                              name="block20")(x, train)

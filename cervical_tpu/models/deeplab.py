@@ -94,6 +94,9 @@ class DeepLab(nn.Module):
     # conv-lowering override for the ASPP/decoder head only (backbone keeps
     # the process default) — the im2col-vs-lax experiment of ROADMAP item 2
     head_conv_backend: Optional[str] = None
+    # eval-mode fused pallas middle flow (xception only; see
+    # XceptionBackbone.fused_middle / ops/pallas_xception.py)
+    fused_middle: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, freeze_backbone: bool = False):
@@ -105,8 +108,13 @@ class DeepLab(nn.Module):
         h, w = x.shape[1], x.shape[2]
         if self.backbone == "xception":
             low, deep = XceptionBackbone(self.downsample_factor,
-                                         dtype=self.dtype, name="backbone")(x, train)
+                                         dtype=self.dtype,
+                                         fused_middle=self.fused_middle,
+                                         name="backbone")(x, train)
         elif self.backbone == "mobilenet":
+            if self.fused_middle:
+                raise ValueError(
+                    "fused_middle is an xception-only fast path")
             low, deep = MobileNetV2Backbone(self.downsample_factor,
                                             dtype=self.dtype, name="backbone")(x, train)
         else:

@@ -57,10 +57,11 @@ def _dtype(cfg: SegTrainConfig):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.dtype]
 
 
-def build_model(cfg: SegTrainConfig) -> DeepLab:
+def build_model(cfg: SegTrainConfig, fused_middle: bool = False) -> DeepLab:
     return DeepLab(num_classes=cfg.data.num_classes, backbone=cfg.backbone,
                    downsample_factor=cfg.downsample_factor, dtype=_dtype(cfg),
-                   head_conv_backend=cfg.head_conv_backend or None)
+                   head_conv_backend=cfg.head_conv_backend or None,
+                   fused_middle=fused_middle)
 
 
 def make_optimizer(cfg: SegTrainConfig):
@@ -359,7 +360,13 @@ class SegTrainer:
 
     def _eval_step(self):
         if "eval" not in self._steps:
-            self._steps["eval"] = make_eval_step(self.cfg, self.model)
+            model = self.model
+            if self.cfg.fused_middle_eval:
+                if self.cfg.backbone != "xception":
+                    raise ValueError(
+                        "fused_middle_eval is an xception-only fast path")
+                model = build_model(self.cfg, fused_middle=True)
+            self._steps["eval"] = make_eval_step(self.cfg, model)
         return self._steps["eval"]
 
     def lr_schedule(self, batch_size: int, total_epochs: int):

@@ -4,7 +4,12 @@ the DeeplabV3 predictor modes of deeplab.py).
 
 Usage:
     python scripts/predict.py --ckpt logs/best_epoch_weights --image x.jpg \
-        [--mix_type 0] [--out out.png] [--fps 100] [--export model.stablehlo]
+        [--mix_type 0] [--out out.png] [--fps 100] [--export model.stablehlo] \
+        [--fused_middle true]
+
+``--fused_middle``: xception-only eval fast path — run backbone blocks 4-19
+as one fused pallas kernel (ops/pallas_xception.py).  Exports always use
+the portable pure-XLA model regardless.
 """
 
 import sys
@@ -25,13 +30,16 @@ def main(argv):
     cfg = load_config(SegTrainConfig, args.pop("config", None),
                       {k: v for k, v in args.items()
                        if k not in ("ckpt", "image", "mix_type", "out",
-                                    "fps", "export", "count")})
+                                    "fps", "export", "count",
+                                    "fused_middle")})
     trainer = SegTrainer(cfg)
     ckpt = args.get("ckpt")
     if ckpt:
         mgr = CheckpointManager(os.path.dirname(ckpt) or ".", 10)
         trainer.state, _ = mgr.restore(os.path.basename(ckpt), trainer.state)
-    predictor = SegPredictor(cfg, trainer.state)
+    predictor = SegPredictor(cfg, trainer.state,
+                             fused_middle=bool(args.get("fused_middle",
+                                                        False)))
 
     if "export" in args:
         path = predictor.export_stablehlo(args["export"])
