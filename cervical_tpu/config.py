@@ -84,10 +84,13 @@ class SegTrainConfig:
     # conv lowering for the ASPP/decoder head only: "" = process default
     # ("lax"), "einsum" = im2col (ops/conv.py; ROADMAP item 2 experiment)
     head_conv_backend: str = ""
-    # run eval/val forwards with the fused pallas middle flow
-    # (ops/pallas_xception.py; xception only, eval-mode BN folded).  The
-    # train step keeps the flax path regardless (training BN needs
-    # cross-batch stats between the fused ops).
+    # run eval/val forwards (trainer eval step + predictor-path callback)
+    # with the fused pallas middle flow (ops/pallas_xception.py; xception
+    # only, eval-mode BN folded, single-device mesh only — the Mosaic
+    # custom-call has no GSPMD sharding rule).  The train step keeps the
+    # flax path regardless (training BN needs cross-batch stats between
+    # the fused ops).  Measured a TIE vs XLA on the round-2 platform
+    # (docs/PLATFORM.md) — an opt-in re-probe hook, not a default win.
     fused_middle_eval: bool = False
     num_devices: Optional[int] = None  # None = all visible
     eval_batch_size: int = 8

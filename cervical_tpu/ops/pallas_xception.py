@@ -119,7 +119,7 @@ def _shift2d(x, sy: int, sx: int):
 
 
 def _block_kernel(x_ref, wdw_ref, s1_ref, c1_ref, wpw_ref, c2_ref, out_ref,
-                  *, dilation: int, nblocks: int):
+                  *, dilation: int):
     """One residual middle-flow block per grid step.
 
     Grid is (batch, block); the output block is revisited across the block
@@ -180,8 +180,7 @@ def middle_flow_eval(x, folded, dilation: int = 1, interpret: bool = False,
             x = middle_flow_eval(x, part, dilation, interpret)
         return x
 
-    kernel = functools.partial(_block_kernel, dilation=dilation,
-                               nblocks=nblk)
+    kernel = functools.partial(_block_kernel, dilation=dilation)
     grid = (b, nblk)
     spec_img = pl.BlockSpec((1, h, w, c), lambda i, k: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)

@@ -179,7 +179,11 @@ class PredictorMiouCallback:
         from cervical_tpu.inference.predictor import SegPredictor
 
         if self._predictor is None:
-            self._predictor = SegPredictor(cfg, state)
+            # honor the fused-middle eval opt-in on this eval surface too
+            # (single-process predictor forward — mesh-safe by construction)
+            self._predictor = SegPredictor(
+                cfg, state,
+                fused_middle=getattr(cfg, "fused_middle_eval", False))
         else:
             self._predictor.update_state(state)
         nc = cfg.data.num_classes

@@ -365,6 +365,14 @@ class SegTrainer:
                 if self.cfg.backbone != "xception":
                     raise ValueError(
                         "fused_middle_eval is an xception-only fast path")
+                if self.mesh.devices.size > 1:
+                    # the Mosaic custom-call inside the eval program has no
+                    # GSPMD sharding rule — over a >1-device mesh XLA cannot
+                    # partition it over the 'data'-sharded batch
+                    raise ValueError(
+                        "fused_middle_eval requires a single-device mesh "
+                        f"(have {self.mesh.devices.size}); drop the flag or "
+                        "set num_devices=1")
                 model = build_model(self.cfg, fused_middle=True)
             self._steps["eval"] = make_eval_step(self.cfg, model)
         return self._steps["eval"]

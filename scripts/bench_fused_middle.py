@@ -50,13 +50,15 @@ def bench(fused: bool, batch=1, size=512, os_=16, iters=20, warmup=5,
                              x, train=False)
         return jax.nn.softmax(logits, axis=-1)
 
+    # index 0 is the compile call only; timed() consumes 1..warmup+iters+1
+    # (never reuse an input — the tunnel result-caches identical (fn, args))
     xs = input_stream((batch, size, size, 3), jnp.bfloat16,
-                      1 + warmup + iters, seed=seed)
+                      2 + warmup + iters, seed=seed)
     t0 = time.perf_counter()
     out = fwd(xs(0))
     _ = float(out[0, 0, 0, 0])
     compile_s = time.perf_counter() - t0
-    dt, _ = timed(fwd, lambda i: (xs(i),), iters=iters, warmup=warmup)
+    dt, _ = timed(fwd, lambda i: (xs(1 + i),), iters=iters, warmup=warmup)
     return dt, compile_s
 
 

@@ -129,7 +129,8 @@ def test_trainer_fused_middle_eval_matches_flax_eval():
 
     cfg = SegTrainConfig(data=SegDataConfig(input_shape=(64, 64),
                                             num_classes=5),
-                         backbone="xception", fused_middle_eval=True)
+                         backbone="xception", fused_middle_eval=True,
+                         num_devices=1)
     trainer = T.SegTrainer(cfg)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 256, (2, 64, 64, 3)), jnp.uint8)
@@ -144,9 +145,18 @@ def test_trainer_fused_middle_eval_matches_flax_eval():
     import pytest
     bad = SegTrainConfig(data=SegDataConfig(input_shape=(64, 64),
                                             num_classes=5),
-                         backbone="mobilenet", fused_middle_eval=True)
+                         backbone="mobilenet", fused_middle_eval=True,
+                         num_devices=1)
     with pytest.raises(ValueError):
         T.SegTrainer(bad)._eval_step()
+
+    # a >1-device mesh must refuse: the Mosaic custom-call has no GSPMD
+    # sharding rule, so the fused eval program cannot be partitioned
+    multi = SegTrainConfig(data=SegDataConfig(input_shape=(64, 64),
+                                              num_classes=5),
+                           backbone="xception", fused_middle_eval=True)
+    with pytest.raises(ValueError, match="single-device mesh"):
+        T.SegTrainer(multi)._eval_step()
 
 
 def test_predictor_fused_middle_forward_and_portable_export(tmp_path):
