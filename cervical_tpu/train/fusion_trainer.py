@@ -417,13 +417,12 @@ class FusionTrainer:
                     history.plot()
                 if save_dir:
                     import os
-                    flat = {}
-                    for path, leaf in jax.tree_util.tree_flatten_with_path(
-                            best["params"] or state["params"])[0]:
-                        key = "/".join(getattr(p, "key", str(p)) for p in path)
-                        flat[key] = np.asarray(leaf)
-                    np.savez(os.path.join(
-                        save_dir, f"best_seed{seed}_fold{fold}.npz"), **flat)
+                    from cervical_tpu.inference.fusion_predictor import (
+                        save_params_npz)
+                    save_params_npz(
+                        os.path.join(save_dir,
+                                     f"best_seed{seed}_fold{fold}.npz"),
+                        best["params"] or state["params"])
                 fold_results.append({"seed": seed, "fold": fold,
                                      "best_epoch": best["epoch"],
                                      "val_acc": best["val_acc"],
