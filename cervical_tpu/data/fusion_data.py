@@ -51,17 +51,55 @@ def subset(ds, idx):
 
 def save_npz(path: str, ds):
     arrays = {f"feat_{m}": v for m, v in ds["feats"].items()}
-    arrays["labels"] = ds["labels"]
+    # record the modality order explicitly: 'present' columns follow it, and
+    # npz key order is an implementation detail not worth trusting
+    arrays["modalities"] = np.asarray(list(ds["feats"].keys()))
+    if ds.get("labels") is not None:
+        arrays["labels"] = ds["labels"]
     arrays["present"] = ds["present"]
     arrays["ids"] = np.asarray(ds["ids"])
     np.savez_compressed(path, **arrays)
 
 
 def load_npz(path: str):
+    """Load a cohort npz.  ``labels`` is optional (deployment cohorts have
+    no ground truth — the serving CLI must accept them); ``present``/``ids``
+    default to all-present / positional ids.  ``modalities`` preserves the
+    column order of ``present`` (falls back to npz key order for archives
+    written before it was recorded)."""
     z = np.load(path, allow_pickle=False)
-    feats = {k[len("feat_"):]: z[k] for k in z.files if k.startswith("feat_")}
-    return {"feats": feats, "labels": z["labels"], "present": z["present"],
-            "ids": [str(s) for s in z["ids"]]}
+    mods = ([str(m) for m in z["modalities"]] if "modalities" in z.files
+            else [k[len("feat_"):] for k in z.files
+                  if k.startswith("feat_")])
+    feats = {m: z[f"feat_{m}"] for m in mods}
+    n = len(next(iter(feats.values()))) if feats else 0
+    return {"feats": feats,
+            "modalities": mods,
+            "labels": z["labels"] if "labels" in z.files else None,
+            "present": (z["present"] if "present" in z.files
+                        else np.ones((n, len(mods)), bool)),
+            "ids": ([str(s) for s in z["ids"]] if "ids" in z.files
+                    else [str(i) for i in range(n)])}
+
+
+def align_to_modalities(ds, modalities: Sequence[str]):
+    """Restrict a cohort to ``modalities``, subsetting BOTH ``feats`` and
+    the matching ``present`` columns (by name, using the cohort's recorded
+    modality order).  Subsetting feats alone would leave ``present`` at the
+    cohort's full width — a shape error at best, silently misassigned
+    presence bits at worst."""
+    missing = [m for m in modalities if m not in ds["feats"]]
+    if missing:
+        raise ValueError(
+            f"cohort lacks modalities {missing}; has "
+            f"{sorted(ds['feats'].keys())}")
+    cohort_order = list(ds.get("modalities") or ds["feats"].keys())
+    cols = [cohort_order.index(m) for m in modalities]
+    out = dict(ds)
+    out["feats"] = {m: ds["feats"][m] for m in modalities}
+    out["modalities"] = list(modalities)
+    out["present"] = np.asarray(ds["present"])[:, cols]
+    return out
 
 
 def make_synthetic_fusion(num_patients: int = 64,

@@ -33,11 +33,9 @@ from cervical_tpu.config import FusionTrainConfig
 def flatten_params(params) -> Dict[str, np.ndarray]:
     """Nested param tree -> flat dict with '/'-joined path keys (the
     ``best_seed*_fold*.npz`` layout written by ``cross_validate``)."""
-    flat = {}
-    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
-        key = "/".join(getattr(p, "key", str(p)) for p in path)
-        flat[key] = np.asarray(leaf)
-    return flat
+    from flax import traverse_util
+    return {k: np.asarray(v)
+            for k, v in traverse_util.flatten_dict(params, sep="/").items()}
 
 
 def save_params_npz(path: str, params) -> str:
@@ -47,15 +45,10 @@ def save_params_npz(path: str, params) -> str:
 
 def load_params_npz(path: str):
     """Rebuild the nested param tree from a flat '/'-keyed npz."""
-    nested: Dict = {}
+    from flax import traverse_util
     with np.load(path) as data:
-        for key in data.files:
-            node = nested
-            parts = key.split("/")
-            for p in parts[:-1]:
-                node = node.setdefault(p, {})
-            node[parts[-1]] = jnp.asarray(data[key])
-    return nested
+        flat = {k: jnp.asarray(data[k]) for k in data.files}
+    return traverse_util.unflatten_dict(flat, sep="/")
 
 
 # ---------------------------------------------------------------------------
@@ -96,6 +89,14 @@ class FusionPredictor:
 
     def _forward(self, params, feats, present):
         from cervical_tpu.data.masks import imputation_masks
+        # Zero absent slots' features so caller-supplied filler (NaN,
+        # garbage) cannot reach the encoders — the reference imputes from a
+        # zero-padded tmp_x (my_mae_model.py:608-613); matches
+        # FusionTrainer.predict's use_type zeroing.
+        # (indexing by cfg.modalities, not feats.items(): jit rebuilds dicts
+        # in sorted-key order, which need not match the modality order)
+        feats = {m: jnp.where(present[:, i, None, None], feats[m], 0.0)
+                 for i, m in enumerate(self.cfg.modalities)}
         mask = imputation_masks(present)
         out = self.model.apply({"params": params}, feats, present=present,
                                mae_mask=mask, deterministic=True)
@@ -113,7 +114,13 @@ class FusionPredictor:
     def predict_proba(self, feats, present=None) -> Dict[str, np.ndarray]:
         """dict head -> (N, num_classes) float32 softmax probabilities."""
         feats, present, n = self._coerce(feats, present)
-        bs = min(self.batch_size, max(n, 1))
+        if n == 0:
+            empty = np.zeros((0, self.cfg.num_classes), np.float32)
+            return {k: empty for k in ("all", *self.cfg.modalities)}
+        # always pad to the full batch_size: one compiled shape for every
+        # cohort size (each distinct bs would recompile — minutes on the
+        # remote-AOT platform; mirrors FusionTrainer.predict)
+        bs = self.batch_size
         heads: Dict[str, list] = {}
         for start in range(0, n, bs):
             real = min(start + bs, n) - start
@@ -155,22 +162,25 @@ class FusionPredictor:
 
         t = len(self.cfg.modalities)
         key = jax.random.PRNGKey(0)
-        feats = {m: jax.random.normal(
-            jax.random.fold_in(key, i),
-            (batch_size, node_count(m), self.cfg.in_features), jnp.float32)
-            for i, m in enumerate(self.cfg.modalities)}
         present = jnp.ones((batch_size, t), bool)
+        # pre-generate every iteration's (distinct) inputs OUTSIDE the timed
+        # region — eager perturbation dispatches inside it would each pay
+        # the platform's fixed per-program cost (docs/PLATFORM.md item 7)
+        streams = []
+        for i in range(1 + iters):
+            k = jax.random.fold_in(key, i)
+            streams.append({m: jax.random.normal(
+                jax.random.fold_in(k, mi),
+                (batch_size, node_count(m), self.cfg.in_features),
+                jnp.float32)
+                for mi, m in enumerate(self.cfg.modalities)})
+        jax.block_until_ready(streams)
 
-        def run(i):
-            f = {m: v + jnp.float32(i) * 1e-6 for m, v in feats.items()}
-            return self._jit_forward(self.params, f, present)
-
-        out = run(0)
-        jax.block_until_ready(out)
+        out = self._jit_forward(self.params, streams[0], present)
         _ = float(out["all"].sum())  # dependent fetch: forces completion
         t0 = time.perf_counter()
         for i in range(iters):
-            out = run(1 + i)
+            out = self._jit_forward(self.params, streams[1 + i], present)
         _ = float(out["all"].sum())
         dt = time.perf_counter() - t0
         return batch_size * iters / dt

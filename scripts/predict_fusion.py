@@ -26,7 +26,7 @@ sys.path.insert(0, ".")
 def main(argv):
     from cervical_tpu.config import (FusionTrainConfig, load_config,
                                      parse_cli_overrides)
-    from cervical_tpu.data.fusion_data import load_npz
+    from cervical_tpu.data.fusion_data import align_to_modalities, load_npz
     from cervical_tpu.inference.fusion_predictor import FusionPredictor
 
     args = parse_cli_overrides(argv)
@@ -52,10 +52,10 @@ def main(argv):
                              "(or use --export / --throughput)")
         return
 
-    ds = load_npz(cohort_path)
-    feats = {m: ds["feats"][m] for m in cfg.modalities}
-    present = ds.get("present")
-    probs = predictor.predict_proba(feats, present)
+    # align feats AND the present columns to the model's modality subset
+    # (a 2-modal model can serve a 4-modal cohort npz)
+    ds = align_to_modalities(load_npz(cohort_path), cfg.modalities)
+    probs = predictor.predict_proba(ds["feats"], ds["present"])
     classes = probs["all"].argmax(-1)
     report = {
         "ids": [str(i) for i in ds.get("ids", range(len(classes)))],

@@ -20,7 +20,7 @@ def main(argv):
     argv = initialize_from_cli(argv)  # multihost flags, before backend use
     from cervical_tpu.config import (FusionTrainConfig, load_config,
                                      parse_cli_overrides)
-    from cervical_tpu.data.fusion_data import load_npz
+    from cervical_tpu.data.fusion_data import align_to_modalities, load_npz
     from cervical_tpu.train.fusion_trainer import FusionTrainer
     from cervical_tpu.utils import show_config
 
@@ -42,7 +42,10 @@ def main(argv):
         raise SystemExit("--cohort path/to/cohort.npz is required "
                          "(build one with scripts/build_graphs.py)")
     ds = load_npz(cohort_path)
-    ds["feats"] = {m: ds["feats"][m] for m in cfg.modalities}
+    if ds["labels"] is None:
+        raise SystemExit(f"{cohort_path} carries no 'labels' array — "
+                         "training needs diagnosis labels")
+    ds = align_to_modalities(ds, cfg.modalities)
 
     trainer = FusionTrainer(cfg)
     result = trainer.cross_validate(ds, save_dir=cfg.save_dir)

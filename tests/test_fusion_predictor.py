@@ -86,6 +86,44 @@ def test_missing_modality_imputation_changes_output(setup):
     assert np.abs(full - imputed).max() > 1e-6
 
 
+def test_absent_slot_filler_cannot_poison_outputs(setup):
+    """Absent-modality features are zeroed before the encoders: NaN (or any
+    garbage) filler in a present=False slot must not reach the fused head —
+    the reference imputes from a zero-padded tmp_x (my_mae_model.py:608-613)."""
+    cfg, _, ds, params = setup
+    n = len(ds["labels"])
+    pred = FusionPredictor(cfg, params, batch_size=n)
+    present = np.ones((n, len(cfg.modalities)), bool)
+    present[:, 1] = False
+    nan_feats = dict(ds["feats"])
+    nan_feats["imgA"] = np.full_like(nan_feats["imgA"], np.nan)
+    probs = pred.predict_proba(nan_feats, present)
+    for v in probs.values():
+        assert np.isfinite(v).all()
+    # and the result equals the zero-filled call (filler is irrelevant)
+    zero_feats = dict(ds["feats"])
+    zero_feats["imgA"] = np.zeros_like(zero_feats["imgA"])
+    ref = pred.predict_proba(zero_feats, present)
+    for k in probs:
+        np.testing.assert_allclose(probs[k], ref[k], atol=1e-6)
+
+
+def test_one_compiled_shape_and_empty_cohort(setup):
+    """Every cohort size runs through ONE compiled forward (pad-to-batch);
+    n=0 returns empty per-head arrays instead of crashing."""
+    cfg, _, ds, params = setup
+    pred = FusionPredictor(cfg, params, batch_size=8)
+    for n in (1, 3, 13):
+        sub = {m: v[:n] for m, v in ds["feats"].items()}
+        out = pred.predict_proba(sub)
+        assert out["all"].shape == (n, cfg.num_classes)
+    assert pred._jit_forward._cache_size() == 1
+    empty = pred.predict_proba({m: v[:0] for m, v in ds["feats"].items()})
+    assert set(empty) == {"all", *cfg.modalities}
+    for v in empty.values():
+        assert v.shape == (0, cfg.num_classes)
+
+
 def test_export_stablehlo_round_trip(setup, tmp_path):
     from jax import export as jax_export
     from cervical_tpu.data.fusion_data import node_count
@@ -127,3 +165,42 @@ def test_predict_fusion_cli(setup, tmp_path):
     assert len(report["probs"][0]) == cfg.num_classes
     for m in cfg.modalities:
         assert len(report[f"classes_{m}"]) == n
+
+
+def test_predict_fusion_cli_unlabeled_and_subset(setup, tmp_path):
+    """Serving-shaped inputs: a label-free cohort npz must predict without
+    crashing (no ground truth at inference time), and a 2-modal model must
+    serve a 4-modal cohort with present columns aligned by name."""
+    import json
+    import sys
+
+    cfg4, trainer4, ds, _ = setup
+    unlabeled = dict(ds)
+    unlabeled["labels"] = None
+    save_npz(str(tmp_path / "unlabeled.npz"), unlabeled)
+
+    cfg2 = FusionTrainConfig(in_features=32, hidden=64, batch_size=8,
+                             modalities=("imgN", "cli"))
+    trainer2 = FusionTrainer(cfg2)
+    state2 = trainer2.init_state(
+        {m: ds["feats"][m][:1] for m in cfg2.modalities},
+        jax.random.PRNGKey(1))
+    save_params_npz(str(tmp_path / "p2.npz"), state2["params"])
+
+    sys.path.insert(0, "scripts")
+    try:
+        import predict_fusion
+    finally:
+        sys.path.pop(0)
+    predict_fusion.main([
+        "--cohort", str(tmp_path / "unlabeled.npz"),
+        "--params", str(tmp_path / "p2.npz"),
+        "--in_features", "32", "--hidden", "64",
+        "--modalities", '["imgN","cli"]',
+        "--out", str(tmp_path / "preds2.json")])
+    with open(tmp_path / "preds2.json") as f:
+        report = json.load(f)
+    n = len(ds["ids"])
+    assert len(report["classes"]) == n
+    assert "accuracy" not in report  # no labels -> no accuracy
+    assert f"classes_cli" in report and "classes_imgA" not in report

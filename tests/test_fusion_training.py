@@ -45,6 +45,26 @@ def test_npz_roundtrip(tmp_path):
     np.testing.assert_array_equal(back["labels"], ds["labels"])
     np.testing.assert_allclose(back["feats"]["imgN"], ds["feats"]["imgN"])
     assert back["ids"] == ds["ids"]
+    assert back["modalities"] == list(ds["feats"].keys())
+
+
+def test_align_to_modalities_subsets_present_columns(tmp_path):
+    from cervical_tpu.data.fusion_data import align_to_modalities
+
+    ds = make_synthetic_fusion(num_patients=5, feature_dim=16)
+    rng = np.random.default_rng(0)
+    ds["present"] = rng.random((5, 4)) > 0.3
+    p = str(tmp_path / "c.npz")
+    save_npz(p, ds)
+    sub = align_to_modalities(load_npz(p), ("imgL", "cli"))
+    assert list(sub["feats"].keys()) == ["imgL", "cli"]
+    # columns picked by NAME from the cohort's recorded order
+    order = list(ds["feats"].keys())
+    np.testing.assert_array_equal(
+        sub["present"],
+        ds["present"][:, [order.index("imgL"), order.index("cli")]])
+    with pytest.raises(ValueError, match="lacks"):
+        align_to_modalities(sub, ("imgN",))
 
 
 @pytest.mark.slow
