@@ -18,8 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from cervical_tpu.config import SegTrainConfig
-from cervical_tpu.ops.image import (letterbox_params, preprocess_input,
-                                    resize_bilinear)
+from cervical_tpu.ops.image import preprocess_input, unletterbox_logits
 
 # 21-color VOC palette head (deeplab.py:66-69)
 DEFAULT_COLORS = [
@@ -96,11 +95,8 @@ class SegPredictor:
         x = preprocess_input(staged)[None].astype(
             jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32)
         probs = np.asarray(self._run(x)[0], np.float32)
-        nh, nw, top, left = letterbox_params((ih, iw), (h, w))
-        probs = probs[top:top + nh, left:left + nw]
-        probs = np.asarray(resize_bilinear(jnp.asarray(probs), (ih, iw),
-                                           align_corners=False))
-        return probs
+        return np.asarray(unletterbox_logits(jnp.asarray(probs),
+                                             (ih, iw), (h, w)))
 
     def predict_mask(self, image: np.ndarray) -> np.ndarray:
         return self.predict_probs(image).argmax(axis=-1).astype(np.uint8)

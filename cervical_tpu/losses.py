@@ -33,12 +33,10 @@ def _flat_ce_terms(logits, labels, class_weights, num_classes):
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
     if class_weights is None:
-        w = jnp.ones((), jnp.float32)
         wy = jnp.where(valid, 1.0, 0.0)
     else:
         w = jnp.asarray(class_weights, jnp.float32)
         wy = jnp.where(valid, w[safe_labels], 0.0)
-    del w
     return nll * wy, wy, valid
 
 

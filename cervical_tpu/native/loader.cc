@@ -79,7 +79,78 @@ bool decode_jpeg(const std::vector<uint8_t>& bytes, Image* img) {
   return true;
 }
 
+// Palette ("P"-mode) PNGs carry class IDs as palette *indices* — the VOC
+// convention, and what tools/labelme.py writes.  PIL's np.asarray on a 'P'
+// image returns those raw indices, but libpng's simplified API
+// (PNG_FORMAT_GRAY) composites them through the colormap to luminance,
+// which would silently corrupt every label.  The IHDR chunk sits at a fixed
+// offset (8-byte signature + 4 length + 4 "IHDR" + 13-byte payload whose
+// byte 9 is the color type), so palette streams are detected cheaply and
+// routed to a full-API decode that skips palette expansion.
+bool png_is_palette(const std::vector<uint8_t>& bytes) {
+  return bytes.size() > 25 && memcmp(bytes.data() + 12, "IHDR", 4) == 0 &&
+         bytes[25] == PNG_COLOR_TYPE_PALETTE;
+}
+
+struct PngReadCtx {
+  const uint8_t* data;
+  size_t size;
+  size_t pos;
+};
+
+void png_mem_read(png_structp p, png_bytep out, png_size_t n) {
+  PngReadCtx* c = static_cast<PngReadCtx*>(png_get_io_ptr(p));
+  if (c->pos + n > c->size) png_error(p, "read past end of PNG buffer");
+  memcpy(out, c->data + c->pos, n);
+  c->pos += n;
+}
+
+bool decode_png_palette_indices(const std::vector<uint8_t>& bytes,
+                                Image* img) {
+  // locals with destructors are declared before setjmp (longjmp must not
+  // skip their construction/destruction)
+  PngReadCtx ctx{bytes.data(), bytes.size(), 0};
+  std::vector<png_bytep> rows;
+  png_structp p = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                         nullptr, nullptr);
+  if (!p) return false;
+  png_infop info = png_create_info_struct(p);
+  if (!info) {
+    png_destroy_read_struct(&p, nullptr, nullptr);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(p))) {
+    png_destroy_read_struct(&p, &info, nullptr);
+    return false;
+  }
+  png_set_read_fn(p, &ctx, png_mem_read);
+  png_read_info(p, info);
+  if (png_get_color_type(p, info) != PNG_COLOR_TYPE_PALETTE) {
+    png_destroy_read_struct(&p, &info, nullptr);
+    return false;
+  }
+  png_set_packing(p);  // 1/2/4-bit indices -> one byte per pixel
+  png_set_interlace_handling(p);
+  png_read_update_info(p, info);
+  img->h = static_cast<int>(png_get_image_height(p, info));
+  img->w = static_cast<int>(png_get_image_width(p, info));
+  img->c = 1;
+  if (img->h <= 0 || img->w <= 0 ||
+      png_get_rowbytes(p, info) != static_cast<size_t>(img->w)) {
+    png_destroy_read_struct(&p, &info, nullptr);
+    return false;
+  }
+  img->data.resize(size_t(img->h) * img->w);
+  rows.resize(img->h);
+  for (int y = 0; y < img->h; ++y)
+    rows[y] = img->data.data() + size_t(y) * img->w;
+  png_read_image(p, rows.data());
+  png_destroy_read_struct(&p, &info, nullptr);
+  return true;
+}
+
 bool decode_png_gray(const std::vector<uint8_t>& bytes, Image* img) {
+  if (png_is_palette(bytes)) return decode_png_palette_indices(bytes, img);
   png_image pimg;
   memset(&pimg, 0, sizeof(pimg));
   pimg.version = PNG_IMAGE_VERSION;

@@ -60,7 +60,7 @@ def sample_augment_params(rng, batch_size: int, jitter=0.3, scale_range=(0.25, 2
 
     Returns a dict of (B,)-shaped arrays; pass to :func:`augment_batch`.
     """
-    ks = jax.random.split(rng, 8)
+    ks = jax.random.split(rng, 10)
     u = lambda k, lo, hi: jax.random.uniform(k, (batch_size,), minval=lo, maxval=hi)
     ar_jitter = u(ks[0], 1 - jitter, 1 + jitter) / u(ks[1], 1 - jitter, 1 + jitter)
     scale = u(ks[2], *scale_range)
@@ -68,7 +68,7 @@ def sample_augment_params(rng, batch_size: int, jitter=0.3, scale_range=(0.25, 2
     # paste offsets are sampled as fractions; turned into pixels in the warp
     # because nw/nh depend on scale: dx = frac * (w - nw)
     dx_frac = u(ks[4], 0.0, 1.0)
-    dy_frac = u(ks[4] + 1, 0.0, 1.0)
+    dy_frac = u(ks[8], 0.0, 1.0)
     if blur_suffix is None:
         blur = jax.random.bernoulli(ks[5], blur_p, (batch_size,))
     else:
@@ -77,7 +77,9 @@ def sample_augment_params(rng, batch_size: int, jitter=0.3, scale_range=(0.25, 2
         rot_draw = jax.random.bernoulli(ks[6], rotate_p, (batch_size,))
     else:
         rot_draw = jnp.arange(batch_size) < rotate_prefix
-    angle = jax.random.randint(ks[6], (batch_size,), -max_rotation,
+    # a distinct key from the rot_draw Bernoulli — reusing ks[6] would make
+    # the angle statistically dependent on the rotate decision
+    angle = jax.random.randint(ks[9], (batch_size,), -max_rotation,
                                max_rotation + 1).astype(jnp.float32)
     angle = jnp.where(rot_draw, angle, 0.0)
     gains = jax.random.uniform(ks[7], (batch_size, 3), minval=-1.0, maxval=1.0)
@@ -404,8 +406,6 @@ def _augment_one(image, label, params, dst_hw, letterbox):
     ys, xs = _source_coords(params, image.shape[:2], dst_hw, letterbox)
     img = _gather_bilinear(image.astype(jnp.float32), ys, xs, GRAY_FILL)
     lbl = _gather_nearest(label, ys, xs, jnp.zeros((), label.dtype))
-    if not letterbox:  # eval path has no photometric jitter
-        img = hsv_jitter(img, params["gains"])
     return img, lbl
 
 
@@ -428,6 +428,11 @@ def augment_batch(images, labels, params, dst_hw: Tuple[int, int],
     img, lbl = jax.vmap(
         lambda i, l, p: _augment_one(i, l, p, dst_hw, letterbox)
     )(images, labels, per_image)
+    # photometric order follows the reference: blur (dataloader.py:118)
+    # BEFORE the HSV gain jitter (:137) — they do not commute (blur is
+    # linear in RGB, the HSV map is pixelwise-nonlinear)
     blurred = gaussian_blur(img)
     img = jnp.where(params["blur"][:, None, None, None], blurred, img)
+    if not letterbox:  # eval path has no photometric jitter
+        img = hsv_jitter_batched(img, params["gains"])
     return img, lbl

@@ -53,6 +53,10 @@ def equalize_hist_channel(channel):
     denom = jnp.maximum(total - cdf_min, 1)
     lut = jnp.round((cdf - cdf_min).astype(jnp.float32) / denom * 255.0)
     lut = jnp.clip(lut, 0.0, 255.0)
+    # cv2 special-cases a single occupied bin (constant channel): the image
+    # is returned unchanged, not mapped to 0 (OpenCV histogram.cpp's early
+    # "hist[i] == total" exit) — detectable as cdf_min == total
+    lut = jnp.where(cdf_min >= total, jnp.arange(256, dtype=jnp.float32), lut)
     return lut[flat].reshape(channel.shape)
 
 
@@ -79,15 +83,12 @@ def flip_vertical(images):
     return images[..., ::-1, :, :]
 
 
-def _rotate_coords(h, w, angle_deg, expand: bool):
-    """Output->source coords for rotation about center; optionally the
-    expanded-bounding-box variant (data_augmentation.py:117-130)."""
+def _rotate_coords(h, w, angle_deg):
+    """Output->source coords for rotation about center
+    (data_augmentation.py:117-130; the expanded-bounding-box variant lives
+    in :func:`rotate_expand_batch`, which inlines its own mapping)."""
     theta = jnp.deg2rad(angle_deg)
     cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
-    if expand:
-        # output canvas is the source canvas; the rotated image is scaled to
-        # fit (see rotate_expand docstring)
-        pass
     cy, cx = (h // 2), (w // 2)
     yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
@@ -106,7 +107,7 @@ def rotate_batch(images, angles_deg):
     b, h, w, _ = images.shape
 
     def one(img, ang):
-        ys, xs = _rotate_coords(h, w, ang, expand=False)
+        ys, xs = _rotate_coords(h, w, ang)
         from cervical_tpu.ops.augment import _gather_bilinear
         return _gather_bilinear(img.astype(jnp.float32), ys, xs, 0.0)
 

@@ -72,7 +72,6 @@ def make_warp_params(params, src_hw, dst_hw, letterbox: bool = False,
     ay = ih / nh
     by = (0.5 - dy) * ay - 0.5
     sx = iw / nw
-    flip = params["flip"].astype(jnp.float32)
     # no flip: xs = sx*(x - dx + 0.5) - 0.5 ; flip: xs = sx*((nw-1) - (x-dx) + 0.5) - 0.5
     ax = jnp.where(params["flip"], -sx, sx)
     bx_nof = (0.5 - dx) * sx - 0.5
@@ -367,14 +366,13 @@ def _warp_photo_kernel(params_ref, img_ref, out_ref, *, size: int,
                                        size=size) for p in ps),
         lambda ps: ps, tuple(planes))
 
-    ro, go, bo = _hsv_jitter_planes(planes[0].astype(jnp.float32),
-                                    planes[1].astype(jnp.float32),
-                                    planes[2].astype(jnp.float32),
-                                    gh, gs, gv)
-    ro, go, bo = jax.lax.cond(
+    # blur BEFORE the HSV jitter — the reference order (dataloader.py:118
+    # then :137); linear blur and the nonlinear HSV map do not commute
+    r, g, bl = jax.lax.cond(
         do_blur > 0,
-        lambda t: tuple(_blur2d(x, size) for x in t),
-        lambda t: t, (ro, go, bo))
+        lambda t: tuple(_blur2d(x.astype(jnp.float32), size) for x in t),
+        lambda t: tuple(x.astype(jnp.float32) for x in t), tuple(planes))
+    ro, go, bo = _hsv_jitter_planes(r, g, bl, gh, gs, gv)
 
     inv255 = 1.0 / 255.0
     out_ref[0, 0] = (ro * inv255).astype(out_ref.dtype)
@@ -483,14 +481,14 @@ def _photometric_kernel(pparams_ref, img_ref, out_ref, *, size: int,
     g = img_ref[0, 1].astype(jnp.float32)
     bl = img_ref[0, 2].astype(jnp.float32)
 
-    ro, go, bo = _hsv_jitter_planes(r, g, bl, gh, gs, gv)
-
+    # blur BEFORE the HSV jitter — the reference order (dataloader.py:118
+    # then :137); linear blur and the nonlinear HSV map do not commute.
     # bf16 blur would be numerically safe (±0.5 counts, no sector logic)
     # but pltpu.roll does not lower for 16-bit lanes on this toolchain
     # (Mosaic internal error) — blur_dtype stays f32
-    ro = ro.astype(blur_dtype)
-    go = go.astype(blur_dtype)
-    bo = bo.astype(blur_dtype)
+    r = r.astype(blur_dtype)
+    g = g.astype(blur_dtype)
+    bl = bl.astype(blur_dtype)
 
     if blur_mode == "select":
         # NOT predicated: unlike the rotation ladders, a lax.cond around the
@@ -500,17 +498,20 @@ def _photometric_kernel(pparams_ref, img_ref, out_ref, *, size: int,
         # suffix, augment_batch_pallas(blur_capacity=K) splits the batch into
         # "none"/"all" calls instead, removing both the wasted blur AND this
         # select.)
-        rb = jnp.where(do_blur > 0, _blur2d(ro, size), ro)
-        gb = jnp.where(do_blur > 0, _blur2d(go, size), go)
-        bb = jnp.where(do_blur > 0, _blur2d(bo, size), bo)
+        r = jnp.where(do_blur > 0, _blur2d(r, size), r)
+        g = jnp.where(do_blur > 0, _blur2d(g, size), g)
+        bl = jnp.where(do_blur > 0, _blur2d(bl, size), bl)
     elif blur_mode == "all":
-        rb = _blur2d(ro, size)
-        gb = _blur2d(go, size)
-        bb = _blur2d(bo, size)
-    else:  # "none"
-        rb, gb, bb = ro, go, bo
+        r = _blur2d(r, size)
+        g = _blur2d(g, size)
+        bl = _blur2d(bl, size)
+    # else "none": planes pass through unblurred
 
-    inv255 = jnp.asarray(1.0 / 255.0, blur_dtype)
+    rb, gb, bb = _hsv_jitter_planes(r.astype(jnp.float32),
+                                    g.astype(jnp.float32),
+                                    bl.astype(jnp.float32), gh, gs, gv)
+
+    inv255 = jnp.asarray(1.0 / 255.0, jnp.float32)
     out_ref[0, 0] = (rb * inv255).astype(out_ref.dtype)
     out_ref[0, 1] = (gb * inv255).astype(out_ref.dtype)
     out_ref[0, 2] = (bb * inv255).astype(out_ref.dtype)

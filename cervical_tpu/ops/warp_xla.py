@@ -427,9 +427,12 @@ def augment_batch_einsum(images, labels, params, dst_hw: Tuple[int, int],
         rot = _rotate_head(k)
         lbl = jnp.concatenate([_unpack_bytes(rot, 3, 4, jnp.uint8),
                                lbl[k:]], axis=0)
-        tail = _hsv(img[b - m:], params["gains"][b - m:])
+        # reference photometric order: blur (dataloader.py:118) BEFORE the
+        # HSV jitter (:137) — linear blur and the nonlinear HSV map do not
+        # commute.  The blur runs on the bf16 [0,255] resample output.
         tail = jnp.where(params["blur"][b - m:, None, None, None],
-                         aug.gaussian_blur_einsum(tail), tail)
+                         aug.gaussian_blur_einsum(img[b - m:]), img[b - m:])
+        tail = _hsv(tail, params["gains"][b - m:])
         pieces = [_hsv(_unpack_bytes(rot, 0, 3, jnp.bfloat16),
                        params["gains"][:k])]
         if k < b - m:
@@ -444,14 +447,14 @@ def augment_batch_einsum(images, labels, params, dst_hw: Tuple[int, int],
         lbl = jnp.concatenate([_unpack_bytes(rot, 3, 4, jnp.uint8),
                                lbl[k:]], axis=0)
 
-    out = _hsv(img, params["gains"])
+    # blur BEFORE HSV (reference order, dataloader.py:118 vs :137)
     if blur_capacity > 0:
-        tail = out[-blur_capacity:]
-        blurred = aug.gaussian_blur_einsum(tail)
+        tail = img[-blur_capacity:]
         tail = jnp.where(params["blur"][-blur_capacity:, None, None, None],
-                         blurred, tail)
-        out = jnp.concatenate([out[:-blur_capacity], tail], axis=0)
+                         aug.gaussian_blur_einsum(tail), tail)
+        img = jnp.concatenate([img[:-blur_capacity], tail], axis=0)
     else:
-        blurred = aug.gaussian_blur_einsum(out)
-        out = jnp.where(params["blur"][:, None, None, None], blurred, out)
+        blurred = aug.gaussian_blur_einsum(img)
+        img = jnp.where(params["blur"][:, None, None, None], blurred, img)
+    out = _hsv(img, params["gains"])
     return out, lbl[..., 0].astype(jnp.int32)

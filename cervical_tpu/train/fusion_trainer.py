@@ -59,8 +59,17 @@ class FusionTrainer:
         self.cfg = cfg
         self.model = build_model(cfg)
         self.rng = rng if rng is not None else jax.random.PRNGKey(cfg.start_seed)
-        self.tx = optax.inject_hyperparams(optax.adamw)(
-            learning_rate=cfg.lr, weight_decay=cfg.weight_decay)
+        # torch Adam(lr, weight_decay=5e-4) (my_train(full).py:502) applies
+        # COUPLED L2 decay — wd*theta is added to the gradient before the
+        # Adam moments — which differs materially from AdamW's decoupled
+        # update at this wd; replicate the torch trajectory exactly.
+        def _adam_l2(learning_rate):
+            return optax.chain(
+                optax.add_decayed_weights(cfg.weight_decay),
+                optax.scale_by_adam(),
+                optax.scale(-learning_rate))
+
+        self.tx = optax.inject_hyperparams(_adam_l2)(learning_rate=cfg.lr)
         self._train_step = None
         self._eval_step = None
 
@@ -96,9 +105,14 @@ class FusionTrainer:
                     wsum = jnp.maximum(jnp.sum(weights), 1.0)
                     mae_mse = (cfg.mse_loss_of_mae_factor
                                * jnp.sum(per * weights) / wsum)
+                # the reference divides by the LITERAL 5, not by the factor
+                # (my_train(full).py:339 "mse_loss_of_mae / 5"), so the
+                # config factor scales the aux term: aux = factor*mean/5.
+                # Passing cfg.mse_loss_of_mae_factor here would cancel the
+                # multiplication above and dead-end the knob.
                 total, parts = losses.fusion_multihead_loss(
                     logits, labels, hw, mae_mse,
-                    mse_factor=cfg.mse_loss_of_mae_factor,
+                    mse_factor=5.0,
                     num_micro_batches=1, sample_weights=weights)
                 return total, (parts, logits)
 

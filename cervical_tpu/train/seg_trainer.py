@@ -68,9 +68,15 @@ def make_optimizer(cfg: SegTrainConfig):
     """Adam/SGD with injected LR (set per epoch like set_optimizer_lr,
     deeplabv3_training.py:119-122)."""
     if cfg.optimizer_type == "adam":
-        base = optax.inject_hyperparams(optax.adamw)(
-            learning_rate=0.0, b1=cfg.momentum, b2=0.999,
-            weight_decay=cfg.weight_decay)
+        # torch Adam's weight_decay is COUPLED L2 (added to the gradient
+        # BEFORE the moment updates), not AdamW's decoupled decay.  The
+        # reference runs adam with wd=0 (train.py:220) so the default is
+        # unaffected, but a nonzero wd must regularize torch-identically.
+        base = optax.inject_hyperparams(
+            lambda learning_rate: optax.chain(
+                optax.add_decayed_weights(cfg.weight_decay),
+                optax.scale_by_adam(b1=cfg.momentum, b2=0.999),
+                optax.scale(-learning_rate)))(learning_rate=0.0)
     else:
         base = optax.inject_hyperparams(
             lambda learning_rate: optax.chain(

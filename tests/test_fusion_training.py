@@ -202,3 +202,38 @@ def test_cross_validate_graceful_stop():
     assert res["stopped_early"] is True
     assert len(res["folds"]) == 1  # folds 1 and 2 never ran
     assert np.isfinite(res["mean_test_acc"])
+
+
+def test_mse_factor_knob_scales_aux_loss():
+    """cfg.mse_loss_of_mae_factor must actually scale the MAE-MSE aux term:
+    the reference divides by the LITERAL 5 (my_train(full).py:339), so
+    aux = factor*mean_mse/5 — passing the factor as the divisor too would
+    cancel it into a dead knob."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from cervical_tpu.data.masks import generate_modal_masks
+
+    ds = make_synthetic_fusion(num_patients=8, feature_dim=64)
+    feats = {m: jnp.asarray(ds["feats"][m][:8]) for m in
+             ("imgN", "imgA", "imgL", "cli")}
+    labels = jnp.asarray(ds["labels"][:8])
+    mask = jnp.asarray(np.asarray(
+        generate_modal_masks(jax.random.PRNGKey(2), 8, 4)))
+    w = jnp.ones((8,))
+
+    losses = {}
+    for factor in (5.0, 25.0):
+        cfg = dataclasses.replace(FusionTrainConfig(), in_features=64,
+                                  mse_loss_of_mae_factor=factor)
+        trainer = FusionTrainer(cfg)
+        state = trainer.init_state({m: v[:1] for m, v in feats.items()},
+                                   jax.random.PRNGKey(0))
+        _, metrics = trainer.train_step_fn()(
+            state, feats, labels, mask, jnp.asarray(1e-3),
+            jnp.asarray(True), jax.random.PRNGKey(3), w)
+        losses[factor] = float(metrics["loss"])
+    # same params/data/key: the only difference is the aux scaling, and
+    # loss(25) - loss(5) = (25-5)/5 * mean_mse = 4x the factor-5 aux > 0
+    assert losses[25.0] > losses[5.0] + 1e-6, losses

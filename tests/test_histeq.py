@@ -82,3 +82,17 @@ def test_fivefold_augment_shapes():
     out = H.fivefold_augment(imgs)
     assert out.shape == (5, 2, 24, 24, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_equalize_constant_channel_matches_cv2_identity():
+    """cv2.equalizeHist special-cases a single occupied bin (constant
+    channel) and returns the input unchanged; the LUT must not collapse a
+    uniform frame to black (equalize_hist_channel's cdf_min==total guard)."""
+    const = np.full((8, 8), 137, np.uint8)
+    ref = cv2.equalizeHist(const)
+    np.testing.assert_array_equal(ref, const)  # cv2 oracle
+    ours = np.asarray(H.equalize_hist_channel(jnp.asarray(const, jnp.float32)))
+    np.testing.assert_allclose(ours, 137.0, atol=0.5)
+    gray = np.full((1, 8, 8, 3), 137.0, np.float32)
+    out = np.asarray(H.equalize_histogram_batch(jnp.asarray(gray)))
+    np.testing.assert_allclose(out, 137.0, atol=1.0)

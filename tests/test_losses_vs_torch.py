@@ -91,3 +91,51 @@ def test_masked_mae_mse_matches_torch():
     ref = torch.nn.MSELoss()(torch.from_numpy(out[mask]),
                              torch.from_numpy(lbl[mask]))
     np.testing.assert_allclose(got, float(ref), rtol=1e-6)
+
+
+def test_adam_coupled_l2_matches_torch_adam():
+    """make_optimizer('adam') must replicate torch Adam's COUPLED L2 weight
+    decay (wd*theta added to the gradient BEFORE the moment updates) — not
+    AdamW's decoupled decay, which diverges materially at wd=5e-4.  Three
+    steps with a constant raw gradient discriminate the two: the effective
+    gradient changes each step through the decay term."""
+    import dataclasses
+
+    import jax
+    import optax
+
+    from cervical_tpu.config import SegTrainConfig
+    from cervical_tpu.train.seg_trainer import make_optimizer
+
+    rng = np.random.default_rng(11)
+    w0 = rng.normal(size=17).astype(np.float32)
+    g = rng.normal(size=17).astype(np.float32)
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.Adam([tw], lr=1e-3, betas=(0.9, 0.999),
+                            weight_decay=5e-4)
+    for _ in range(3):
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+    cfg = dataclasses.replace(SegTrainConfig(), optimizer_type="adam",
+                              weight_decay=5e-4)
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    state.hyperparams["learning_rate"] = 1e-3
+    for _ in range(3):
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tw.detach().numpy(), rtol=1e-5, atol=1e-7)
+
+    # control: AdamW (decoupled) measurably deviates from the torch run
+    txw = optax.adamw(1e-3, weight_decay=5e-4)
+    pw = {"w": jnp.asarray(w0)}
+    sw = txw.init(pw)
+    for _ in range(3):
+        up, sw = txw.update({"w": jnp.asarray(g)}, sw, pw)
+        pw = optax.apply_updates(pw, up)
+    assert np.abs(np.asarray(pw["w"]) - tw.detach().numpy()).max() > 1e-7

@@ -157,3 +157,30 @@ def test_native_planar_layout(voc_root):
         assert plan.shape == (4, 3) + hw
         np.testing.assert_array_equal(plan, nhwc.transpose(0, 3, 1, 2))
         np.testing.assert_array_equal(lbl_a, lbl_b)
+
+
+def test_native_palette_mask_returns_indices(tmp_path):
+    """Palette ('P'-mode) masks — the VOC convention, written by
+    tools/labelme.py — must decode to raw palette *indices* (PIL
+    semantics), not colormap luminance.  Covers 8-bit and packed 4-bit
+    palette streams (loader.cc::decode_png_palette_indices)."""
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, 5, (40, 40)).astype(np.uint8)
+    pal = np.zeros((256, 3), np.uint8)
+    pal[:5] = [[0, 0, 0], [128, 0, 0], [0, 128, 0],
+               [128, 128, 0], [0, 0, 128]]
+    im = Image.fromarray(idx, mode="P")
+    im.putpalette(pal.reshape(-1).tolist())
+    p8 = str(tmp_path / "m8.png")
+    im.save(p8)
+    p4 = str(tmp_path / "m4.png")
+    im.save(p4, bits=4)
+    # PIL oracle: 'P'-mode arrays are the palette indices
+    np.testing.assert_array_equal(np.asarray(Image.open(p8)), idx)
+    np.testing.assert_array_equal(np.asarray(Image.open(p4)), idx)
+    jpg = str(tmp_path / "img.jpg")
+    Image.fromarray(np.zeros((40, 40, 3), np.uint8)).save(jpg, quality=95)
+    imgs, lbls, failures = native.load_batch([jpg, jpg], [p8, p4], (40, 40))
+    assert failures == 0
+    np.testing.assert_array_equal(lbls[0], idx)
+    np.testing.assert_array_equal(lbls[1], idx)

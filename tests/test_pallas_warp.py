@@ -89,9 +89,12 @@ def test_photometric_matches_xla_path():
                          out_dtype=jnp.float32)
     out = np.transpose(np.asarray(out), (0, 2, 3, 1)) * 255.0
 
-    ref = np.asarray(jax.vmap(A.hsv_jitter)(images.astype(jnp.float32), gains))
-    ref_blur = np.asarray(A.gaussian_blur(jnp.asarray(ref)))
-    ref = np.where(np.asarray(blur)[:, None, None, None], ref_blur, ref)
+    # reference order: blur (dataloader.py:118) BEFORE the HSV jitter (:137)
+    src = images.astype(jnp.float32)
+    src_blur = np.asarray(A.gaussian_blur(src))
+    src = np.where(np.asarray(blur)[:, None, None, None], src_blur,
+                   np.asarray(src))
+    ref = np.asarray(jax.vmap(A.hsv_jitter)(jnp.asarray(src), gains))
     # interiors agree; borders differ by the reflect approximation
     m = slice(3, S - 3)
     d = np.abs(out[:, m, m] - ref[:, m, m])
