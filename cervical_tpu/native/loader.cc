@@ -211,7 +211,11 @@ void resize_rgb(const Image& src, uint8_t* dst, int oh, int ow,
 // (nanosecond resolution where the filesystem provides it) is part of the
 // freshness check.
 
-constexpr uint32_t kSidecarMagic = 0x43524D32;  // "CRM2" (v1 lacked mtime)
+// "CRM3" — bumped when the mask decoder semantics change, so sidecars
+// written by an older decoder are invalidated and re-decoded (CRM2 sidecars
+// could carry luminance-composited labels from before the palette-PNG fix;
+// CRM1 lacked mtime).
+constexpr uint32_t kSidecarMagic = 0x43524D33;
 
 struct SidecarHeader {
   uint32_t magic;

@@ -485,10 +485,11 @@ def _photometric_kernel(pparams_ref, img_ref, out_ref, *, size: int,
     # then :137); linear blur and the nonlinear HSV map do not commute.
     # bf16 blur would be numerically safe (±0.5 counts, no sector logic)
     # but pltpu.roll does not lower for 16-bit lanes on this toolchain
-    # (Mosaic internal error) — blur_dtype stays f32
-    r = r.astype(blur_dtype)
-    g = g.astype(blur_dtype)
-    bl = bl.astype(blur_dtype)
+    # (Mosaic internal error) — blur_dtype stays f32.  The cast is scoped
+    # to the blur itself so a non-f32 blur_dtype never quantizes the HSV
+    # input of unblurred lanes ("select" with do_blur=0, or "none" mode).
+    def blur_in(x):
+        return _blur2d(x.astype(blur_dtype), size).astype(jnp.float32)
 
     if blur_mode == "select":
         # NOT predicated: unlike the rotation ladders, a lax.cond around the
@@ -498,18 +499,16 @@ def _photometric_kernel(pparams_ref, img_ref, out_ref, *, size: int,
         # suffix, augment_batch_pallas(blur_capacity=K) splits the batch into
         # "none"/"all" calls instead, removing both the wasted blur AND this
         # select.)
-        r = jnp.where(do_blur > 0, _blur2d(r, size), r)
-        g = jnp.where(do_blur > 0, _blur2d(g, size), g)
-        bl = jnp.where(do_blur > 0, _blur2d(bl, size), bl)
+        r = jnp.where(do_blur > 0, blur_in(r), r)
+        g = jnp.where(do_blur > 0, blur_in(g), g)
+        bl = jnp.where(do_blur > 0, blur_in(bl), bl)
     elif blur_mode == "all":
-        r = _blur2d(r, size)
-        g = _blur2d(g, size)
-        bl = _blur2d(bl, size)
+        r = blur_in(r)
+        g = blur_in(g)
+        bl = blur_in(bl)
     # else "none": planes pass through unblurred
 
-    rb, gb, bb = _hsv_jitter_planes(r.astype(jnp.float32),
-                                    g.astype(jnp.float32),
-                                    bl.astype(jnp.float32), gh, gs, gv)
+    rb, gb, bb = _hsv_jitter_planes(r, g, bl, gh, gs, gv)
 
     inv255 = jnp.asarray(1.0 / 255.0, jnp.float32)
     out_ref[0, 0] = (rb * inv255).astype(out_ref.dtype)

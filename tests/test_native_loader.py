@@ -133,7 +133,7 @@ def test_mask_sidecar_mtime_detects_size_collision(tmp_path):
 
     # control: a forged sidecar matching BOTH size and mtime is served —
     # proving the mtime mismatch is what rejected the collision above
-    magic = 0x43524D32  # kSidecarMagic "CRM2"
+    magic = 0x43524D33  # kSidecarMagic "CRM3"
     hdr = struct.pack("<IIiiq", magic, new_size, 32, 32,
                       os.stat(pp).st_mtime_ns)
     with open(side, "wb") as f:
