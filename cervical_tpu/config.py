@@ -142,15 +142,27 @@ class FusionTrainConfig:
     save_dir: str = "logs_fusion"
     dtype: str = "float32"
 
-    def arity_defaults(self):
-        """Apply the reference's per-arity hyperparameter deltas in place."""
+    def arity_defaults(self, explicit=()):
+        """Apply the reference's per-arity hyperparameter deltas in place.
+
+        ``explicit`` names config keys the user set via file/CLI; those are
+        left untouched so e.g. ``--kfold 7`` survives on a 3-modal run.
+        Deltas: Three_Modal/train(NAL).py:494,510,542 (kfold 10,
+        test_size .11, wd 1e-3, lr_step 30); Two_Modal/train(NC).py:418-466
+        (wd 1e-3, lr_step 20); 4-modal keeps the dataclass defaults
+        (my_train(full).py:648-678).
+        """
         n = len(self.modalities)
-        if n == 3:
-            self.kfold, self.inner_test_size = 10, 0.11
-            self.weight_decay, self.lr_step = 1e-3, 30
-        elif n == 2:
-            self.kfold, self.inner_test_size = 5, 0.25
-            self.weight_decay, self.lr_step = 1e-3, 20
+        deltas = {
+            3: dict(kfold=10, inner_test_size=0.11,
+                    weight_decay=1e-3, lr_step=30),
+            2: dict(kfold=5, inner_test_size=0.25,
+                    weight_decay=1e-3, lr_step=20),
+        }.get(n)
+        if deltas:
+            for k, v in deltas.items():
+                if k not in explicit:
+                    setattr(self, k, v)
         return self
 
 
@@ -168,8 +180,15 @@ def _update_dataclass(obj, data: dict):
     return obj
 
 
-def load_config(cls, path: Optional[str] = None, overrides: Optional[dict] = None):
-    """Build ``cls()`` then apply a YAML/JSON file and/or override dict."""
+def load_config(cls, path: Optional[str] = None, overrides: Optional[dict] = None,
+                explicit_out: Optional[set] = None):
+    """Build ``cls()`` then apply a YAML/JSON file and/or override dict.
+
+    ``explicit_out``: optional set that collects the top-level keys the
+    user actually set (file + overrides) — lets callers distinguish
+    user-chosen values from dataclass defaults (e.g. for
+    :meth:`FusionTrainConfig.arity_defaults`).
+    """
     cfg = cls()
     if path:
         with open(path) as f:
@@ -180,8 +199,12 @@ def load_config(cls, path: Optional[str] = None, overrides: Optional[dict] = Non
                     raise RuntimeError("pyyaml unavailable; use JSON config")
                 data = yaml.safe_load(f)
         _update_dataclass(cfg, data or {})
+        if explicit_out is not None and data:
+            explicit_out.update(data)
     if overrides:
         _update_dataclass(cfg, overrides)
+        if explicit_out is not None:
+            explicit_out.update(overrides)
     return cfg
 
 

@@ -15,25 +15,38 @@ import sys
 sys.path.insert(0, ".")
 
 
-def main(argv):
-    from cervical_tpu.parallel import initialize_from_cli
-    argv = initialize_from_cli(argv)  # multihost flags, before backend use
+def build_config(argv):
+    """Parse CLI args into (cfg, cohort_path, log_dir).
+
+    Per-arity hyperparameter deltas (FusionTrainConfig.arity_defaults)
+    apply AFTER file/CLI values are merged but never override a key the
+    user set explicitly.
+    """
     from cervical_tpu.config import (FusionTrainConfig, load_config,
                                      parse_cli_overrides)
-    from cervical_tpu.data.fusion_data import align_to_modalities, load_npz
-    from cervical_tpu.train.fusion_trainer import FusionTrainer
-    from cervical_tpu.utils import show_config
-
     overrides = parse_cli_overrides(argv)
     cohort_path = overrides.pop("cohort", None)
     cfg_path = overrides.pop("config", None)
     log_dir = overrides.pop("log_dir", None)
+    explicit = set()
+    cfg = load_config(FusionTrainConfig, cfg_path, overrides,
+                      explicit_out=explicit)
+    cfg.arity_defaults(explicit=explicit)
+    return cfg, cohort_path, log_dir
+
+
+def main(argv):
+    from cervical_tpu.parallel import initialize_from_cli
+    argv = initialize_from_cli(argv)  # multihost flags, before backend use
+    from cervical_tpu.data.fusion_data import align_to_modalities, load_npz
+    from cervical_tpu.train.fusion_trainer import FusionTrainer
+    from cervical_tpu.utils import show_config
+
+    cfg, cohort_path, log_dir = build_config(argv)
     if log_dir:  # tee stdout to log/<timestamp>.log (util.py:50-67)
         import sys as _sys
         from cervical_tpu.utils import Logger
         _sys.stdout = Logger(log_dir, stream=_sys.stdout)
-    cfg = load_config(FusionTrainConfig, cfg_path, overrides)
-    cfg.arity_defaults()
     show_config(**{k: getattr(cfg, k) for k in
                    ("modalities", "epochs", "lr", "batch_size", "kfold",
                     "inner_test_size", "weight_decay", "lr_step", "mix",

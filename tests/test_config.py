@@ -93,3 +93,45 @@ def test_arity_defaults_match_reference_deltas():
         assert cfg.lr_gamma == 0.8 and cfg.mse_loss_of_mae_factor == 5
         assert cfg.head_weight_all == 1.0 and cfg.head_weight_img == 0.3
         assert cfg.head_weight_cli == 0.2
+
+
+@pytest.mark.parametrize("modalities, expect", [
+    (["imgN", "imgA", "imgL", "cli"], (5, 0.25, 5e-4, 40)),
+    (["imgN", "imgA", "imgL"], (10, 0.11, 1e-3, 30)),
+    (["imgN", "cli"], (5, 0.25, 1e-3, 20)),
+])
+def test_train_fusion_cli_applies_arity_defaults(modalities, expect):
+    """The actual CLI path (scripts/train_fusion.py::build_config) must
+    land the per-arity hyperparameters — round-2 VERDICT weak #5."""
+    import sys
+    sys.path.insert(0, "scripts")
+    try:
+        from train_fusion import build_config
+    finally:
+        sys.path.pop(0)
+    cfg, cohort, _ = build_config(
+        ["--cohort", "/tmp/x.npz", "--modalities", json.dumps(modalities)])
+    assert cohort == "/tmp/x.npz"
+    assert tuple(cfg.modalities) == tuple(modalities)
+    assert (cfg.kfold, cfg.inner_test_size,
+            cfg.weight_decay, cfg.lr_step) == expect
+
+
+def test_train_fusion_cli_explicit_beats_arity_default(tmp_path):
+    """A user-set key (CLI or config file) must survive arity_defaults."""
+    import sys
+    sys.path.insert(0, "scripts")
+    try:
+        from train_fusion import build_config
+    finally:
+        sys.path.pop(0)
+    cfg, _, _ = build_config(["--modalities", '["imgN","imgA","cli"]',
+                              "--kfold", "7"])
+    assert cfg.kfold == 7                 # explicit CLI wins
+    assert cfg.lr_step == 30              # untouched keys still get deltas
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({"modalities": ["imgN", "cli"],
+                             "weight_decay": 0.005}))
+    cfg2, _, _ = build_config(["--config", str(p)])
+    assert cfg2.weight_decay == 0.005     # explicit file value wins
+    assert cfg2.lr_step == 20
