@@ -108,11 +108,17 @@ def main():
         if backend == "einsum":
             raise
         # the pallas path depends on the platform's Mosaic toolchain, which
-        # regressed once before (round 1: ~1000x below roofline) — if it
-        # breaks again, fall back to the einsum/barrel backend rather than
-        # reporting nothing
+        # regressed twice before (round 1: ~1000x below roofline; round 2
+        # post-builder: scoped-vmem accounting change OOMed the photometric
+        # kernel) — if it breaks again, fall back to the einsum/barrel
+        # backend rather than reporting nothing, and log the error detail
+        # so the regression is diagnosable from the driver artifact
+        # (scripts/bisect_pallas.py isolates the construct).
+        detail = [ln for ln in str(e).splitlines()
+                  if "rror" in ln or "vmem" in ln or "emory" in ln]
+        detail = " | ".join(detail)[-600:] or str(e)[-600:]
         print(f"pallas backend failed ({type(e).__name__}); "
-              "falling back to einsum", file=sys.stderr)
+              f"falling back to einsum\n  detail: {detail}", file=sys.stderr)
         os.environ["CERVICAL_BENCH_BACKEND"] = backend = "einsum"
         ips, best = bench_augmentation(windows=5)
     print(json.dumps({

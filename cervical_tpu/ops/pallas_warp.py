@@ -545,6 +545,11 @@ def photometric(images_planar, gains, blur_flags, interpret: bool = False,
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, c, s, s), out_dtype),
+        # blur+HSV peak live set measured 19.05 MB at 512^2 (scoped-vmem
+        # stack OOM against the 16 MB default after a mid-round-2 toolchain
+        # update — the BENCH_r02 "pallas backend failed" root cause); v5e
+        # carries 128 MB VMEM so 32 MB is comfortable
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20),
         interpret=interpret,
     )(pparams, images_planar)
 
