@@ -11,15 +11,18 @@ Implementation under test: the Pallas/Mosaic warp backend
 (cervical_tpu/ops/pallas_warp.py) — per-image MXU-matmul resample, exact
 in-VMEM Paeth 3-shear rotation (PREDICATED via in-kernel ``lax.cond``:
 only the 25% of images the reference rotates pay the shear ladders),
-photometric kernel — with device-side parameter sampling.  Round 2
-re-opened this backend after scripts/probe_pallas.py showed the
-platform's Mosaic compute at XLA parity (round 1 measured it ~40x slow):
-16.8-17.0k img/s vs the einsum/barrel path's 10.3k, then 22.7-22.9k
-after predicating the rotation (ABAB both orders,
-scripts/bench_warp_variants.py `pallas` vs `pallas_fused` vs
-`two_shear`).  Exact 3-shear on every rotating image — no capacity cap,
-no 2-shear approximation.  The einsum path stays as the fallback
-(`CERVICAL_BENCH_BACKEND=einsum`).
+photometric kernel — with device-side parameter sampling.  Exact 3-shear
+on every rotating image — no capacity cap, no 2-shear approximation.
+Measured: **23.5k img/s median (round 3)**; the einsum path stays as the
+fallback (`CERVICAL_BENCH_BACKEND=einsum`, ~10.6k).
+
+History: round 1 parked pallas (Mosaic ~40x slow); round 2 revived it
+(17.0k, then 22.7-23.2k predicated, ABAB via
+scripts/bench_warp_variants.py); BENCH_r02 then silently fell back to
+einsum when a toolchain update OOMed the photometric kernel's scoped
+vmem — fixed in round 3 with an explicit 32 MB budget.  Diagnose any new
+regression with scripts/probe_pallas.py (production-kernel compiles) and
+scripts/bisect_pallas.py (construct-level ladder).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

@@ -63,6 +63,7 @@ def bench(backend: str, backbone="mobilenet", batch=8, size=512, iters=8, warmup
     out_state, metrics = run(0)
     _ = float(metrics["loss"])
     compile_s = time.perf_counter() - t0
+    flops = step_flops(step, state, images, labels)
     for i in range(warmup):
         _, metrics = run(i + 1)
     _ = float(metrics["loss"])
@@ -71,7 +72,27 @@ def bench(backend: str, backbone="mobilenet", batch=8, size=512, iters=8, warmup
         _, metrics = run(100 + i)
     _ = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
-    return dt, compile_s
+    return dt, compile_s, flops
+
+
+# v5e peak: 197 TFLOP/s bf16 (394 int8) — the MXU-bound ceiling the MFU
+# figure is normalized against.
+V5E_PEAK_BF16_TFLOPS = 197.0
+
+
+def step_flops(step, state, images, labels):
+    """XLA cost-analysis FLOPs for one compiled train step (or None if the
+    platform's compiled-executable analysis is unavailable)."""
+    try:
+        compiled = step.lower(state, images, labels, None,
+                              jnp.float32(1e-4),
+                              jax.random.PRNGKey(0)).compile()
+        costs = compiled.cost_analysis()
+        if isinstance(costs, (list, tuple)):  # older jax: one dict/device
+            costs = costs[0]
+        return float(costs["flops"])
+    except Exception:
+        return None
 
 
 def main():
@@ -88,12 +109,22 @@ def main():
         batch = int(parts[3]) if len(parts) > 3 and parts[3] else 8
         # distinct seed per run so repeated variants never replay inputs
         # (tunnel result-cache rule, scripts/_bench_util.py)
-        dt, compile_s = bench(backend, backbone, batch=batch, frozen=frozen,
-                              seed=run_i + 1)
-        print(json.dumps({"backend": backend, "backbone": backbone,
-                          "frozen": frozen, "step_ms": round(dt * 1e3, 1),
-                          "images_per_sec": round(batch / dt, 1),
-                          "compile_s": round(compile_s, 1)}), flush=True)
+        dt, compile_s, flops = bench(backend, backbone, batch=batch,
+                                     frozen=frozen, seed=run_i + 1)
+        rec = {"backend": backend, "backbone": backbone,
+               "frozen": frozen, "batch": batch,
+               "step_ms": round(dt * 1e3, 1),
+               "images_per_sec": round(batch / dt, 1),
+               "compile_s": round(compile_s, 1)}
+        if flops:
+            tflops = flops / dt / 1e12
+            rec["step_tflop"] = round(flops / 1e12, 3)
+            rec["tflops_per_sec"] = round(tflops, 1)
+            # MFU vs the v5e bf16 peak; the fixed ~28 ms per-program
+            # dispatch cost (docs/PLATFORM.md) is included — this is
+            # delivered utilization, not in-program utilization
+            rec["mfu_pct"] = round(100 * tflops / V5E_PEAK_BF16_TFLOPS, 1)
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
