@@ -235,13 +235,8 @@ def evaluate_miou_dir(gt_dir: str, pred_dir: str, png_name_list,
 def _write_metric_bars(summary, out_dir: str):
     """Per-class horizontal bar charts (``show_results``/``draw_plot_func``,
     utils_metrics.py:204-241): mIoU.png, mPA.png, Recall.png, Precision.png."""
-    try:
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-    except Exception:  # pragma: no cover
-        return
     import os
+    from cervical_tpu.metrics import draw_bar_chart
     names = list(summary["names"])
     plots = [
         ("mIoU.png", summary["iou"], f"mIoU = {np.nanmean(summary['iou']) * 100:.2f}%",
@@ -254,14 +249,5 @@ def _write_metric_bars(summary, out_dir: str):
          f"mPrecision = {np.nanmean(summary['precision']) * 100:.2f}%", "Precision"),
     ]
     for fname, values, title, xlabel in plots:
-        plt.figure()
-        plt.barh(range(len(values)), values, color="royalblue")
-        plt.title(title)
-        plt.xlabel(xlabel)
-        plt.yticks(range(len(values)), names)
-        for i, val in enumerate(values):
-            plt.text(val, i, f" {val:.2f}", va="center", fontweight="bold",
-                     color="royalblue")
-        plt.tight_layout()
-        plt.savefig(os.path.join(out_dir, fname))
-        plt.close("all")
+        draw_bar_chart(values, names, title, xlabel,
+                       os.path.join(out_dir, fname))

@@ -112,6 +112,17 @@ def classification_report(true_labels, pred_labels, num_classes=4):
     true_labels = np.asarray(true_labels, int).reshape(-1)
     pred_labels = np.asarray(pred_labels, int).reshape(-1)
     cm = fast_hist(true_labels, pred_labels, num_classes)
+    rep = report_from_confusion(cm)
+    rep["accuracy"] = (float(np.mean(true_labels == pred_labels))
+                       if len(true_labels) else 0.0)
+    return rep
+
+
+def report_from_confusion(cm):
+    """classification_report() metric block derived from a (possibly
+    fold-aggregated) confusion matrix; accuracy is the confusion-trace
+    ratio."""
+    cm = np.asarray(cm)
     tp = np.diag(cm).astype(np.float64)
     fp = cm.sum(axis=0) - tp
     fn = cm.sum(axis=1) - tp
@@ -124,7 +135,7 @@ def classification_report(true_labels, pred_labels, num_classes=4):
         sensitivity = np.where(tp + fn > 0, tp / np.maximum(tp + fn, 1), 0.0)
         specificity = np.where(tn + fp > 0, tn / np.maximum(tn + fp, 1), 0.0)
     return {
-        "accuracy": float(np.mean(true_labels == pred_labels)) if len(true_labels) else 0.0,
+        "accuracy": float(tp.sum() / cm.sum()) if cm.sum() else 0.0,
         "confusion": cm,
         "precision": precision,
         "recall": recall,
@@ -179,3 +190,77 @@ def multilabel_report(true_sets, pred_sets, num_labels=4):
         "f1": f1,
         "hamming": hamming,
     }
+
+
+# ---------------------------------------------------------------------------
+# Report artifacts (bar charts + CSV dumps)
+# ---------------------------------------------------------------------------
+
+def draw_bar_chart(values, names, title, xlabel, path):
+    """One horizontal per-class bar chart (draw_plot_func,
+    utils_metrics.py:204-224).  No-op if matplotlib is unavailable."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:  # pragma: no cover
+        return False
+    plt.figure()
+    plt.barh(range(len(values)), values, color="royalblue")
+    plt.title(title)
+    plt.xlabel(xlabel)
+    plt.yticks(range(len(values)), names)
+    for i, val in enumerate(values):
+        plt.text(val, i, f" {val:.2f}", va="center", fontweight="bold",
+                 color="royalblue")
+    plt.tight_layout()
+    plt.savefig(path)
+    plt.close()
+    return True
+
+
+def write_classification_report(report, out_dir, class_names=None):
+    """Classification-side analog of the segmentation ``show_results`` dump
+    (utils_metrics.py:226-250): per-class Precision/Recall/F1 bar charts,
+    ``confusion_matrix.csv`` and a ``classification_report.csv`` table.
+    The reference only ever *prints* these numbers
+    (my_train(full).py:386-408); the artifact files close that
+    observability gap.
+
+    ``report``: a :func:`classification_report` /
+    :func:`report_from_confusion` dict.
+    """
+    import csv
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    cm = np.asarray(report["confusion"])
+    n = cm.shape[0]
+    names = list(class_names or [f"class{i}" for i in range(n)])
+
+    with open(os.path.join(out_dir, "confusion_matrix.csv"), "w",
+              newline="") as f:
+        w = csv.writer(f)
+        w.writerow([" "] + [str(c) for c in names])
+        for i in range(n):
+            w.writerow([names[i]] + [str(int(x)) for x in cm[i]])
+
+    with open(os.path.join(out_dir, "classification_report.csv"), "w",
+              newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["class", "precision", "recall", "f1", "sensitivity",
+                    "specificity", "tp", "fp", "fn", "tn"])
+        for i in range(n):
+            w.writerow([names[i]] + [
+                f"{report[k][i]:.6f}" for k in
+                ("precision", "recall", "f1", "sensitivity", "specificity")]
+                + [str(int(report[k][i])) for k in ("tp", "fp", "fn", "tn")])
+        w.writerow(["accuracy", f"{report['accuracy']:.6f}"])
+
+    for key, fname, xlabel in (("precision", "Precision.png", "Precision"),
+                               ("recall", "Recall.png", "Recall"),
+                               ("f1", "F1.png", "F1 score")):
+        vals = np.asarray(report[key], np.float64)
+        draw_bar_chart(vals, names,
+                       f"m{xlabel} = {np.nanmean(vals) * 100:.2f}%",
+                       xlabel, os.path.join(out_dir, fname))

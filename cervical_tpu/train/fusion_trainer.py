@@ -472,5 +472,17 @@ class FusionTrainer:
                                  "stopped_early": self._stop_requested,
                                  "modalities": list(self.cfg.modalities)}),
                           f, indent=1)
+            # fold-aggregated confusion -> bar charts + CSVs, the
+            # classification-side analog of the seg show_results dump
+            # (the reference prints this block to stdout only,
+            # my_train(full).py:386-408)
+            if results:
+                from cervical_tpu.metrics import (report_from_confusion,
+                                                  write_classification_report)
+                total_cm = np.sum([np.asarray(r["test"]["confusion"])
+                                   for r in results], axis=0)
+                write_classification_report(
+                    report_from_confusion(total_cm),
+                    os.path.join(save_dir, "classification_out"))
         return {"folds": results, "mean_test_acc": mean_acc,
                 "stopped_early": self._stop_requested}

@@ -123,7 +123,7 @@ def test_epoch0_no_step_keeps_params():
 
 
 @pytest.mark.slow
-def test_cross_validate_two_modal():
+def test_cross_validate_two_modal(tmp_path):
     cfg = FusionTrainConfig(modalities=("imgN", "cli"), epochs=2, kfold=2,
                             batch_size=16, epoch0_no_step=False,
                             in_features=64)
@@ -132,9 +132,23 @@ def test_cross_validate_two_modal():
     ds = make_synthetic_fusion(num_patients=40, modalities=cfg.modalities,
                                feature_dim=64, noise=0.2)
     trainer = FusionTrainer(cfg)
-    out = trainer.cross_validate(ds, log=lambda *a: None)
+    out = trainer.cross_validate(ds, log=lambda *a: None,
+                                 save_dir=str(tmp_path))
     assert len(out["folds"]) == 2
     assert 0.0 <= out["mean_test_acc"] <= 1.0
+    # classification-side show_results analog: fold-aggregated confusion
+    # + per-class metric artifacts land beside cv_results.json
+    import os
+    cls_out = tmp_path / "classification_out"
+    assert (cls_out / "confusion_matrix.csv").exists()
+    assert (cls_out / "classification_report.csv").exists()
+    import csv
+    with open(cls_out / "confusion_matrix.csv") as f:
+        rows = list(csv.reader(f))
+    total = sum(int(x) for r in rows[1:] for x in r[1:])
+    assert total == sum(
+        int(np.asarray(r["test"]["confusion"]).sum()) for r in out["folds"])
+    assert (tmp_path / "cv_results.json").exists()
 
 
 @pytest.mark.slow

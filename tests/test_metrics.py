@@ -93,3 +93,41 @@ def test_multilabel_report_mixed():
     np.testing.assert_allclose(r["precision"], 2 / 3)
     np.testing.assert_allclose(r["recall"], 2 / 3)
     np.testing.assert_allclose(r["hamming"], 0.5)
+
+
+def test_report_from_confusion_matches_classification_report():
+    rng = np.random.default_rng(0)
+    t = rng.integers(0, 4, 200)
+    p = rng.integers(0, 4, 200)
+    full = metrics.classification_report(t, p)
+    derived = metrics.report_from_confusion(full["confusion"])
+    for k in ("precision", "recall", "f1", "sensitivity", "specificity",
+              "tp", "fp", "fn", "tn"):
+        np.testing.assert_allclose(derived[k], full[k])
+    np.testing.assert_allclose(derived["accuracy"], full["accuracy"])
+
+
+def test_write_classification_report(tmp_path):
+    """The classification-side show_results analog writes CSVs + bar
+    charts whose numbers round-trip."""
+    import csv
+    import os
+    rng = np.random.default_rng(1)
+    t = rng.integers(0, 4, 100)
+    p = np.where(rng.random(100) < 0.7, t, rng.integers(0, 4, 100))
+    rep = metrics.classification_report(t, p)
+    out = str(tmp_path / "cls_out")
+    metrics.write_classification_report(rep, out,
+                                        class_names=list("ABCD"))
+    with open(os.path.join(out, "confusion_matrix.csv")) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == [" ", "A", "B", "C", "D"]
+    cm = np.array([[int(x) for x in r[1:]] for r in rows[1:]])
+    np.testing.assert_array_equal(cm, rep["confusion"])
+    with open(os.path.join(out, "classification_report.csv")) as f:
+        rows = list(csv.reader(f))
+    assert rows[0][0] == "class" and rows[-1][0] == "accuracy"
+    np.testing.assert_allclose(float(rows[1][1]), rep["precision"][0],
+                               atol=1e-6)
+    for fname in ("Precision.png", "Recall.png", "F1.png"):
+        assert os.path.getsize(os.path.join(out, fname)) > 0
