@@ -34,6 +34,29 @@ class LossHistory:
             except Exception:
                 self.writer = None
 
+    def add_model_graph(self, fn, *example_args):
+        """TPU-native ``add_graph`` equivalent (utils/callbacks.py:29-34):
+        the reference feeds a dummy image through the torch graph into
+        TensorBoard; here the jitted step's StableHLO text — the actual
+        compiled-program structure — is dumped to ``model_graph.txt`` and,
+        when tensorboardX is present, attached as a text summary."""
+        if not self._primary:
+            return
+        try:
+            import jax
+            lowered = jax.jit(fn).lower(*example_args)
+            text = lowered.as_text()
+        except Exception as e:  # pragma: no cover - platform-dependent
+            text = f"(model graph unavailable: {type(e).__name__}: {e})"
+        with open(os.path.join(self.log_dir, "model_graph.txt"), "w") as f:
+            f.write(text)
+        if self.writer is not None:
+            # text_string is rendered as markdown; fence it and cap the
+            # size so TB stays responsive on big programs
+            snippet = text[:200_000]
+            self.writer.add_text("model_graph",
+                                 f"```\n{snippet}\n```", 0)
+
     def append_loss(self, epoch: int, loss: float, val_loss: float):
         self.losses.append(loss)
         self.val_losses.append(val_loss)

@@ -478,6 +478,13 @@ class SegTrainer:
                                    drop_last=shuffle)
 
         loss_hist = LossHistory(cfg.save_dir)
+        # model-graph dump at callback init (utils/callbacks.py:29-34 feeds
+        # a dummy image through add_graph; here: the StableHLO text)
+        dummy = jnp.zeros((1, *cfg.data.input_shape, 3), jnp.float32)
+        loss_hist.add_model_graph(
+            lambda v, x: self.model.apply(v, x, train=False),
+            {"params": self.state.params,
+             "batch_stats": self.state.batch_stats}, dummy)
         miou_hist = MiouHistory(cfg.save_dir, cfg.eval_period)
         pred_cb = (PredictorMiouCallback(cfg.save_dir, val_ds,
                                          cfg.eval_period)

@@ -366,6 +366,13 @@ def test_fit_graceful_stop_checkpoints_and_resumes(voc_root, tmp_path):
 
     hist = trainer.fit(ds, ds, total_epochs=4, log=stopping_log)
     assert len(hist["train_loss"]) == 1  # stopped after the first epoch
+    # add_graph equivalent: the StableHLO model-graph dump is written at
+    # callback init (utils/callbacks.py:29-34)
+    import os
+    graph_path = os.path.join(cfg.save_dir, "model_graph.txt")
+    assert os.path.getsize(graph_path) > 1000
+    with open(graph_path) as f:
+        assert "stablehlo" in f.read(4000) or "module" in open(graph_path).read(200)
     mgr = CheckpointManager(cfg.save_dir, cfg.save_period)
     state, extra = mgr.restore("last_epoch_weights", trainer.state)
     assert extra["epoch"] == 0
