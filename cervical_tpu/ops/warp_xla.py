@@ -65,6 +65,93 @@ def _interp_matrices(a, b, out_size: int, in_size: int, nearest: bool):
     return w.astype(jnp.bfloat16), inb[..., 0]
 
 
+def _interp_matrices_i8(a, b, out_size: int, in_size: int, nearest: bool):
+    """int8-quantized interpolation matrices for the MXU's 2x int8 path.
+
+    Bilinear taps are scaled by 127 with ``w1 = 127 - w0``, so in-bounds row
+    sums are EXACTLY 127 (the two taps collide onto one entry at clamped
+    edges and still sum to 127) — the uint8 zero-point compensation below
+    needs no extra reduction.  Nearest mode keeps scale-1 one-hot rows
+    (row sum exactly 1), making the label path exact for any uint8 value.
+    Returns (W int8 (B, out, in), inb (B, out) float32).
+    """
+    o = jnp.arange(out_size, dtype=jnp.float32)[None, :, None]     # (1,O,1)
+    i = jnp.arange(in_size, dtype=jnp.int32)[None, None, :]        # (1,1,I)
+    src = a[:, None, None] * o + b[:, None, None]                  # (B,O,1)
+    inb = (src >= -0.5) & (src <= in_size - 0.5)
+    if nearest:
+        idx = jnp.clip(jnp.round(src), 0, in_size - 1).astype(jnp.int32)
+        w = ((i == idx) & inb).astype(jnp.int8)
+    else:
+        y0 = jnp.floor(src)
+        f = src - y0
+        i0 = jnp.clip(y0, 0, in_size - 1).astype(jnp.int32)
+        i1 = jnp.clip(y0 + 1, 0, in_size - 1).astype(jnp.int32)
+        w1 = jnp.round(f * 127.0).astype(jnp.int32)
+        w = (i == i0) * (127 - w1) + (i == i1) * w1
+        w = jnp.where(inb, w, 0).astype(jnp.int8)
+    return w, inb[..., 0].astype(jnp.float32)
+
+
+def _to_s8(u8):
+    """uint8 -> int8 with a -128 zero-point shift (XOR of the sign bit)."""
+    return jax.lax.bitcast_convert_type(u8 ^ jnp.uint8(128), jnp.int8)
+
+
+def _resample_int8(images, wp, out_size: int, fill):
+    """(B, H, W, C) uint8 -> (B, S, S, C) bf16 [0,255] integral values.
+
+    Same separable map as :func:`_resample` but on the MXU's int8 path
+    (v5e int8 peak is 2x bf16): inputs are zero-point-shifted to int8,
+    taps are 127-scaled int8, and each pass dequantizes with the exact
+    ``v/127 + 128*inb`` compensation before re-quantizing to uint8 for the
+    next pass.  The intermediate uint8 quantization matches the reference
+    chain, which materializes uint8 between every PIL/cv2 step
+    (Segmentation/deeplabv3+/utils/dataloader.py:77-112); max deviation vs
+    the bf16 einsum path is ~2 counts on the [0,255] scale (tap rounding
+    1/127 + one extra midpoint round).
+    """
+    b, ih, iw, c = images.shape
+    wy, inb_y = _interp_matrices_i8(wp[:, P_AY], wp[:, P_BY], out_size, ih,
+                                    nearest=False)
+    wx, inb_x = _interp_matrices_i8(wp[:, P_AX], wp[:, P_BX], out_size, iw,
+                                    nearest=False)
+    v32 = jnp.einsum("boi,biwc->bowc", wy, _to_s8(images),
+                     preferred_element_type=jnp.int32)
+    vf = v32.astype(jnp.float32) * (1.0 / 127.0)
+    vf = vf + (128.0 * inb_y
+               + fill[:, None] * (1.0 - inb_y))[:, :, None, None]
+    v8 = jnp.clip(jnp.round(vf), 0.0, 255.0).astype(jnp.uint8)
+    h32 = jnp.einsum("bpw,bhwc->bhpc", wx, _to_s8(v8),
+                     preferred_element_type=jnp.int32)
+    hf = h32.astype(jnp.float32) * (1.0 / 127.0)
+    hf = hf + (128.0 * inb_x
+               + fill[:, None] * (1.0 - inb_x))[:, None, :, None]
+    return jnp.clip(jnp.round(hf), 0.0, 255.0).astype(jnp.bfloat16)
+
+
+def _resample_labels_int8(labels, wp, out_size: int):
+    """(B, H, W, 1) uint8 labels -> (B, S, S, 1) uint8, EXACT nearest pick.
+
+    One-hot int8 rows select ``label - 128``; adding back ``128 * inb``
+    restores the value exactly for any uint8 (out-of-bounds rows get the
+    0 fill), so this matches the float nearest path bit-for-bit.
+    """
+    b, ih, iw, _ = labels.shape
+    wy, inb_y = _interp_matrices_i8(wp[:, P_AY], wp[:, P_BY], out_size, ih,
+                                    nearest=True)
+    wx, inb_x = _interp_matrices_i8(wp[:, P_AX], wp[:, P_BX], out_size, iw,
+                                    nearest=True)
+    v32 = jnp.einsum("boi,biwc->bowc", wy, _to_s8(labels),
+                     preferred_element_type=jnp.int32)
+    v32 = v32 + (128.0 * inb_y).astype(jnp.int32)[:, :, None, None]
+    v8 = v32.astype(jnp.uint8)
+    h32 = jnp.einsum("bpw,bhwc->bhpc", wx, _to_s8(v8),
+                     preferred_element_type=jnp.int32)
+    h32 = h32 + (128.0 * inb_x).astype(jnp.int32)[:, None, :, None]
+    return h32.astype(jnp.uint8)
+
+
 def _resample(images, wp, out_size: int, nearest: bool, fill):
     """(B, H, W, C) -> (B, S, S, C) via two batched einsums with fill."""
     b, ih, iw, c = images.shape
@@ -363,11 +450,13 @@ def rotation_first_order(angles: "np.ndarray") -> "np.ndarray":
 @functools.partial(jax.jit, static_argnames=("dst_hw", "letterbox",
                                              "normalized", "rotate",
                                              "rotate_capacity",
-                                             "blur_capacity", "two_shear"))
+                                             "blur_capacity", "two_shear",
+                                             "int8_resample"))
 def augment_batch_einsum(images, labels, params, dst_hw: Tuple[int, int],
                          letterbox: bool = False, normalized: bool = True,
                          rotate: bool = True, rotate_capacity: int = 0,
-                         blur_capacity: int = 0, two_shear: bool = False):
+                         blur_capacity: int = 0, two_shear: bool = False,
+                         int8_resample: bool = False):
     """Fast-path equivalent of :func:`cervical_tpu.ops.augment.augment_batch`.
 
     ``rotate_capacity`` > 0 restricts the shear rotation to the first K
@@ -375,6 +464,9 @@ def augment_batch_einsum(images, labels, params, dst_hw: Tuple[int, int],
     the full batch.  ``blur_capacity`` > 0 likewise restricts the 5x5 blur
     to the *last* K samples (``blur_suffix=K``).  ``two_shear`` opts into
     the faster 2-shear rotation approximation (see :func:`_rotate_packed`).
+    ``int8_resample`` routes the separable resample through the MXU's int8
+    path (:func:`_resample_int8` — labels stay exact, images quantize to
+    uint8 between passes like the reference chain does).
     Returns (images (B, S, S, 3) bf16 — [0,1] if normalized else [0,255] —
     labels (B, S, S) int32).
     """
@@ -384,10 +476,14 @@ def augment_batch_einsum(images, labels, params, dst_hw: Tuple[int, int],
                           letterbox=letterbox)
     fill = wp[:, P_FILL]
 
-    img = _resample(images, wp, s, nearest=False, fill=fill)
-    lbl = _resample(labels[..., None], wp, s, nearest=True,
-                    fill=jnp.zeros_like(fill))
-    lbl = jnp.round(lbl.astype(jnp.float32)).astype(jnp.uint8)
+    if int8_resample:
+        img = _resample_int8(images, wp, s, fill=fill)
+        lbl = _resample_labels_int8(labels[..., None], wp, s)
+    else:
+        img = _resample(images, wp, s, nearest=False, fill=fill)
+        lbl = _resample(labels[..., None], wp, s, nearest=True,
+                        fill=jnp.zeros_like(fill))
+        lbl = jnp.round(lbl.astype(jnp.float32)).astype(jnp.uint8)
 
     if letterbox:
         out = img

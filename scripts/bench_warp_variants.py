@@ -1,8 +1,10 @@
 """Profile augmentation-pipeline variants on the real TPU.
 
 Usage: python scripts/bench_warp_variants.py [variant ...]
-Variants: base, two_shear, b2048, pallas, pallas_fused, pallas_planar,
-pallas256, pallas_scan2, pallas_scan3, pallas_bsplit, pallas_bsplit_scan2,
+Variants: base, two_shear, b2048, int8, int8_b2048, pallas, pallas_fused,
+pallas_planar,
+pallas256, pallas1280, pallas1536, pallas_scan2, pallas_scan3,
+pallas_bsplit, pallas_bsplit_scan2,
 pallas_bsplit_scan3, rot_old, rot_packed, rot_two, blur_conv, blur_einsum
 (default: base two_shear).  Repeat variants for ABAB, e.g.
 ``pallas pallas_fused pallas pallas_fused``.
@@ -40,7 +42,7 @@ def timed(fn, args_fn, iters=10, warmup=2):
     return dt / iters, tot
 
 
-def full_pipeline(batch, size, two_shear):
+def full_pipeline(batch, size, two_shear, int8_resample=False):
     from cervical_tpu.ops import augment as A
     from cervical_tpu.ops import warp_xla as WX
     rng = np.random.default_rng(0)
@@ -54,7 +56,8 @@ def full_pipeline(batch, size, two_shear):
                                          blur_suffix=cap)
         return WX.augment_batch_einsum(images, labels, params, (size, size),
                                        rotate_capacity=cap, blur_capacity=cap,
-                                       two_shear=two_shear)
+                                       two_shear=two_shear,
+                                       int8_resample=int8_resample)
 
     keys = jax.random.split(jax.random.PRNGKey(0), 256)
     dt, _ = timed(pipe, lambda i: (images, labels, keys[i % 256]))
@@ -187,6 +190,10 @@ def main():
             ips = full_pipeline(1024, 512, True)
         elif v == "b2048":
             ips = full_pipeline(2048, 512, True)
+        elif v == "int8":
+            ips = full_pipeline(1024, 512, True, int8_resample=True)
+        elif v == "int8_b2048":
+            ips = full_pipeline(2048, 512, True, int8_resample=True)
         elif v == "pallas":
             ips = full_pipeline_pallas(1024, 512, fused=False)
         elif v == "pallas_fused":
@@ -195,6 +202,10 @@ def main():
             ips = full_pipeline_pallas(1024, 512, fused=False, planar=True)
         elif v == "pallas256":
             ips = full_pipeline_pallas(256, 512, fused=False)
+        elif v == "pallas1280":
+            ips = full_pipeline_pallas(1280, 512, fused=False)
+        elif v == "pallas1536":
+            ips = full_pipeline_pallas(1536, 512, fused=False)
         elif v == "pallas_scan2":
             ips = full_pipeline_pallas_scan(1024, 512, 2)
         elif v == "pallas_scan3":

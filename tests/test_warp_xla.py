@@ -158,3 +158,43 @@ def test_piecewise_no_middle_piece():
     np.testing.assert_allclose(np.asarray(full[0], np.float32),
                                np.asarray(cap[0], np.float32), atol=1.0)
     np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(cap[1]))
+
+
+def test_int8_resample_close_to_float():
+    """MXU-int8 resample (``int8_resample=True``): labels bit-exact, images
+    within the 2-count tap-rounding budget (1/127 tap quantization + one
+    extra uint8 midpoint round between the passes)."""
+    images, labels = _data(9)
+    from cervical_tpu.ops.pallas_warp import make_warp_params, P_FILL
+    p = A.sample_augment_params(jax.random.PRNGKey(11), B,
+                                rotate_prefix=1, blur_suffix=1)
+    wp = make_warp_params(p, (S, S), (S, S))
+    fill = wp[:, P_FILL]
+    rf = np.asarray(WX._resample(images, wp, S, nearest=False, fill=fill),
+                    np.float32)
+    rq = np.asarray(WX._resample_int8(images, wp, S, fill=fill), np.float32)
+    d = np.abs(rf - rq)
+    assert d.max() <= 2.5 and d.mean() < 0.5
+    lf = np.round(np.asarray(
+        WX._resample(labels[..., None], wp, S, nearest=True,
+                     fill=jnp.zeros_like(fill)), np.float32)).astype(np.uint8)
+    lq = np.asarray(WX._resample_labels_int8(labels[..., None], wp, S))
+    np.testing.assert_array_equal(lf, lq)
+
+
+def test_int8_resample_full_pipeline():
+    """End-to-end ``int8_resample=True`` vs the bf16 path: labels identical,
+    image error tiny in the mean (hue-sector flips on near-tie pixels give
+    rare large per-pixel deviations, same as the documented bf16-HSV
+    effect, so only the mean is budgeted)."""
+    images, labels = _data(10)
+    p = A.sample_augment_params(jax.random.PRNGKey(12), B,
+                                rotate_prefix=1, blur_suffix=1)
+    kw = dict(rotate_capacity=1, blur_capacity=1, two_shear=True)
+    f = WX.augment_batch_einsum(images, labels, p, (S, S), **kw)
+    q = WX.augment_batch_einsum(images, labels, p, (S, S),
+                                int8_resample=True, **kw)
+    di = np.abs(np.asarray(f[0], np.float32)
+                - np.asarray(q[0], np.float32)) * 255.0
+    assert di.mean() < 1.0
+    np.testing.assert_array_equal(np.asarray(f[1]), np.asarray(q[1]))
