@@ -14,7 +14,8 @@ only the 25% of images the reference rotates pay the shear ladders),
 photometric kernel — with device-side parameter sampling.  Exact 3-shear
 on every rotating image — no capacity cap, no 2-shear approximation.
 Measured: **23.5k img/s median (round 3)**; the einsum path stays as the
-fallback (`CERVICAL_BENCH_BACKEND=einsum`, ~10.6k).
+fallback (`CERVICAL_BENCH_BACKEND=einsum`, **12.7k** after the round-3
+int8-resample + uint8-carry + closed-form-HSV work — was 10.6k).
 
 History: round 1 parked pallas (Mosaic ~40x slow); round 2 revived it
 (17.0k, then 22.7-23.2k predicated, ABAB via
@@ -71,7 +72,7 @@ def bench_augmentation(batch=1024, size=512, iters=12, windows=3, warmup=6):
         return WX.augment_batch_einsum(images, labels, params, (size, size),
                                        rotate_capacity=capacity,
                                        blur_capacity=capacity,
-                                       two_shear=True)
+                                       two_shear=True, int8_resample=True)
 
     key = jax.random.PRNGKey(0)
     out = pipeline(images, labels, key)

@@ -41,8 +41,11 @@ def confusion_matrix_jax(labels, preds, num_classes):
     labels outside [0, num_classes) are dropped), but runs on TPU so per-batch
     eval never syncs to host.
     """
-    labels = labels.reshape(-1)
-    preds = preds.reshape(-1)
+    # int32 up-cast first: uint8 label/pred inputs (both augmentation fast
+    # backends emit uint8 class ids) would overflow the flat-index
+    # arithmetic below for num_classes >= 16
+    labels = labels.reshape(-1).astype(jnp.int32)
+    preds = preds.reshape(-1).astype(jnp.int32)
     valid = (labels >= 0) & (labels < num_classes)
     idx = jnp.where(valid, num_classes * labels + preds, num_classes * num_classes)
     counts = jnp.zeros((num_classes * num_classes + 1,), jnp.int32).at[idx].add(1)

@@ -335,6 +335,64 @@ def hsv_jitter_batched(rgb, gains):
     return jnp.clip(out, 0.0, 255.0)
 
 
+def hsv_jitter_batched_fast(rgb, gains, scale: float = 1.0):
+    """Closed-form variant of :func:`hsv_jitter_batched` for the einsum
+    fast path (ops/warp_xla.py).
+
+    Three changes, all measured on the target chip with
+    ``scripts/bench_einsum_stages.py`` (the f32 select-ladder form costs
+    ~29 ms in-context for a 1024x512^2 batch — far above its memory-bound
+    ideal; this form ~24 ms, the einsum pipeline 94.7 -> 88.9 ms):
+
+    * the 6-sector select ladder of the RGB reconstruction is replaced by
+      the continuous piecewise-linear identity
+      ``ch(n) = v' - c * clip(min(k, 4 - k), 0, 1)`` with
+      ``k = (n + h'/30) mod 6`` and n = 5/3/1 for R/G/B — fewer ops, no
+      int sector plane, and no equality ties (the function is continuous
+      at sector boundaries);
+    * the hue divisions share one hoisted reciprocal (2 divides/pixel
+      instead of 4; ~0.4 ms — XLA already CSEs most of it);
+    * each output channel is scaled by ``scale`` and cast to bfloat16
+      BEFORE the 3-channel stack, halving the stack's HBM traffic
+      (a planar-compute variant measured 4.8 ms WORSE — the transposes
+      cost more than the NHWC stride-3 channel reads they avoid).
+
+    Same quantized-LUT semantics as :func:`hsv_jitter` up to fp
+    association (<= 0.5 counts on the [0,255] scale, CPU-verified).
+    Returns bf16 in ``[0, 255*scale]``.
+    """
+    x = rgb.astype(jnp.float32)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    v = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    delta = v - mn
+    rd = 60.0 / jnp.where(delta > 0, delta, 1.0)
+    h = jnp.where(v == r, (g - b) * rd,
+                  jnp.where(v == g, 120.0 + (b - r) * rd,
+                            240.0 + (r - g) * rd))
+    h = jnp.where(delta > 0, h, 0.0)
+    h = jnp.where(h < 0, h + 360.0, h) * 0.5
+    s = 255.0 * delta / jnp.where(v > 0, v, 1.0)
+
+    g0 = gains[:, 0][:, None, None]
+    g1 = gains[:, 1][:, None, None]
+    g2 = gains[:, 2][:, None, None]
+    h = jnp.floor(jnp.mod(jnp.round(h) * g0, 180.0))
+    s = jnp.floor(jnp.clip(jnp.round(s) * g1, 0.0, 255.0))
+    v = jnp.floor(jnp.clip(jnp.round(v) * g2, 0.0, 255.0))
+
+    hp = h * (1.0 / 30.0)          # == (2h)/60, the sector coordinate
+    c = v * (s * (1.0 / 255.0))
+
+    def ch(n):
+        k = jnp.mod(n + hp, 6.0)
+        t = jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
+        out = jnp.clip(v - c * t, 0.0, 255.0)
+        return (out * scale).astype(jnp.bfloat16)
+
+    return jnp.stack([ch(5.0), ch(3.0), ch(1.0)], axis=-1)
+
+
 @functools.lru_cache(maxsize=8)
 def _gaussian_kernel_1d(ksize: int = 5, sigma: float = 0.0) -> np.ndarray:
     """cv2.getGaussianKernel semantics incl. the fixed small-kernel table."""

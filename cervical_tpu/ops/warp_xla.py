@@ -99,7 +99,7 @@ def _to_s8(u8):
 
 
 def _resample_int8(images, wp, out_size: int, fill):
-    """(B, H, W, C) uint8 -> (B, S, S, C) bf16 [0,255] integral values.
+    """(B, H, W, C) uint8 -> (B, S, S, C) uint8.
 
     Same separable map as :func:`_resample` but on the MXU's int8 path
     (v5e int8 peak is 2x bf16): inputs are zero-point-shifted to int8,
@@ -127,7 +127,9 @@ def _resample_int8(images, wp, out_size: int, fill):
     hf = h32.astype(jnp.float32) * (1.0 / 127.0)
     hf = hf + (128.0 * inb_x
                + fill[:, None] * (1.0 - inb_x))[:, None, :, None]
-    return jnp.clip(jnp.round(hf), 0.0, 255.0).astype(jnp.bfloat16)
+    # uint8 output: downstream stages (rotation packing, HSV, blur) read
+    # half the bytes vs bf16, and the values are integral anyway
+    return jnp.clip(jnp.round(hf), 0.0, 255.0).astype(jnp.uint8)
 
 
 def _resample_labels_int8(labels, wp, out_size: int):
@@ -291,7 +293,7 @@ def _unpack_u32(packed):
 
 
 def _barrel_shift_packed(y, shift, axis: int, fill_u32, max_shift: int,
-                         nearest_tail: bool):
+                         nearest_tail: bool, radix4: bool = False):
     """uint32-packed barrel shifter: 4 uint8 planes ride one 32-bit lane.
 
     Same ladder + fixed-point fractional lerp as :func:`_barrel_shift_u8`
@@ -299,6 +301,10 @@ def _barrel_shift_packed(y, shift, axis: int, fill_u32, max_shift: int,
     elements.  The lerp is SWAR: even/odd bytes are split into 16-bit
     fields of two uint32 words; per-field products stay < 2^16 because the
     two weights sum to 256, so no cross-field carries.
+
+    ``radix4`` processes TWO shift bits per stage (4-way select over rolls
+    by 0/1/2/3 << k): per 2 bits it touches 5 arrays instead of the binary
+    ladder's 6 — ~17% less ladder traffic if XLA fuses the select tree.
 
     ``nearest_tail``: byte 3 (the label plane) takes the nearest-neighbor
     value instead of the lerp.  ``fill_u32``: packed per-byte fill word.
@@ -312,9 +318,21 @@ def _barrel_shift_packed(y, shift, axis: int, fill_u32, max_shift: int,
     mshape = (b, size, 1) if axis == 2 else (b, 1, size)
 
     y = _roll(y, -max_shift, axis)
-    for k in range(nbits):
-        bit = ((u >> k) & 1).astype(bool).reshape(mshape)
-        y = jnp.where(bit, _roll(y, 1 << k, axis), y)
+    if radix4:
+        for k in range(0, nbits, 2):
+            if k + 1 < nbits:
+                d = ((u >> k) & 3).reshape(mshape)
+                lo = jnp.where(d % 2 == 1, _roll(y, 1 << k, axis), y)
+                hi = jnp.where(d % 2 == 1, _roll(y, 3 << k, axis),
+                               _roll(y, 2 << k, axis))
+                y = jnp.where(d >= 2, hi, lo)
+            else:
+                bit = ((u >> k) & 1).astype(bool).reshape(mshape)
+                y = jnp.where(bit, _roll(y, 1 << k, axis), y)
+    else:
+        for k in range(nbits):
+            bit = ((u >> k) & 1).astype(bool).reshape(mshape)
+            y = jnp.where(bit, _roll(y, 1 << k, axis), y)
 
     w = w8.reshape(mshape)
     y_next = _roll(y, 1, axis)
@@ -347,7 +365,8 @@ def _unpack_bytes(packed, lo: int, hi: int, dtype):
 
 
 def _rotate_packed(planes_u8, wp, fill_u8, max_angle_deg: float = 10.0,
-                   two_shear: bool = False, unpack: bool = True):
+                   two_shear: bool = False, unpack: bool = True,
+                   radix4: bool = False):
     """uint32-packed shear rotation of 4 uint8 planes (image RGB + label).
 
     Bit-exact with :func:`_rotate_u8` (``nearest_tail=1``) in 3-shear mode.
@@ -373,8 +392,10 @@ def _rotate_packed(planes_u8, wp, fill_u8, max_angle_deg: float = 10.0,
         sh_y = (sint * cost) * grid[None, :]
         ms_x = int(np.ceil(np.tan(rad) * (s - c))) + 2
         ms_y = int(np.ceil(np.sin(rad) * np.cos(rad) * (s - c))) + 2
-        y = _barrel_shift_packed(y, sh_x, 2, fill_u32, ms_x, True)
-        y = _barrel_shift_packed(y, sh_y, 1, fill_u32, ms_y, True)
+        y = _barrel_shift_packed(y, sh_x, 2, fill_u32, ms_x, True,
+                                 radix4=radix4)
+        y = _barrel_shift_packed(y, sh_y, 1, fill_u32, ms_y, True,
+                                 radix4=radix4)
     else:
         tanh = wp[:, P_TANH][:, None]
         sint = wp[:, P_SINT][:, None]
@@ -382,9 +403,12 @@ def _rotate_packed(planes_u8, wp, fill_u8, max_angle_deg: float = 10.0,
         sh_y = sint * grid[None, :]
         ms_x = int(np.ceil(np.tan(rad / 2) * (s - c))) + 2
         ms_y = int(np.ceil(np.sin(rad) * (s - c))) + 2
-        y = _barrel_shift_packed(y, sh_x, 2, fill_u32, ms_x, True)
-        y = _barrel_shift_packed(y, sh_y, 1, fill_u32, ms_y, True)
-        y = _barrel_shift_packed(y, sh_x, 2, fill_u32, ms_x, True)
+        y = _barrel_shift_packed(y, sh_x, 2, fill_u32, ms_x, True,
+                                 radix4=radix4)
+        y = _barrel_shift_packed(y, sh_y, 1, fill_u32, ms_y, True,
+                                 radix4=radix4)
+        y = _barrel_shift_packed(y, sh_x, 2, fill_u32, ms_x, True,
+                                 radix4=radix4)
     return _unpack_u32(y) if unpack else y
 
 
@@ -451,12 +475,12 @@ def rotation_first_order(angles: "np.ndarray") -> "np.ndarray":
                                              "normalized", "rotate",
                                              "rotate_capacity",
                                              "blur_capacity", "two_shear",
-                                             "int8_resample"))
+                                             "int8_resample", "radix4"))
 def augment_batch_einsum(images, labels, params, dst_hw: Tuple[int, int],
                          letterbox: bool = False, normalized: bool = True,
                          rotate: bool = True, rotate_capacity: int = 0,
                          blur_capacity: int = 0, two_shear: bool = False,
-                         int8_resample: bool = False):
+                         int8_resample: bool = False, radix4: bool = False):
     """Fast-path equivalent of :func:`cervical_tpu.ops.augment.augment_batch`.
 
     ``rotate_capacity`` > 0 restricts the shear rotation to the first K
@@ -466,9 +490,10 @@ def augment_batch_einsum(images, labels, params, dst_hw: Tuple[int, int],
     the faster 2-shear rotation approximation (see :func:`_rotate_packed`).
     ``int8_resample`` routes the separable resample through the MXU's int8
     path (:func:`_resample_int8` — labels stay exact, images quantize to
-    uint8 between passes like the reference chain does).
+    uint8 between passes like the reference chain does, and the pipeline
+    carries uint8 between stages).
     Returns (images (B, S, S, 3) bf16 — [0,1] if normalized else [0,255] —
-    labels (B, S, S) int32).
+    labels (B, S, S) uint8 class ids, matching the pallas backend).
     """
     s = dst_hw[0]
     b = images.shape[0]
@@ -489,7 +514,7 @@ def augment_batch_einsum(images, labels, params, dst_hw: Tuple[int, int],
         out = img
         if normalized:
             out = (out.astype(jnp.float32) / 255.0).astype(jnp.bfloat16)
-        return out.astype(jnp.bfloat16), lbl[..., 0].astype(jnp.int32)
+        return out.astype(jnp.bfloat16), lbl[..., 0]
 
     # batched fused HSV with the /255 normalization folded into the same
     # elementwise pass; drop to bf16 right after (the blur is a convex
@@ -498,19 +523,24 @@ def augment_batch_einsum(images, labels, params, dst_hw: Tuple[int, int],
     scale = (1.0 / 255.0) if normalized else 1.0
 
     def _hsv(x, gains):
-        return (aug.hsv_jitter_batched(x, gains) * scale
-                ).astype(jnp.bfloat16)
+        # closed-form HSV with the /255 fold + per-channel bf16 stack
+        # (in-context 29 -> 24 ms at B=1024 512^2; bench_einsum_stages.py)
+        return aug.hsv_jitter_batched_fast(x, gains, scale)
 
     def _rotate_head(k):
-        img_u8 = jnp.clip(jnp.round(img[:k].astype(jnp.float32)),
-                          0, 255).astype(jnp.uint8)
+        if img.dtype == jnp.uint8:
+            img_u8 = img[:k]
+        else:
+            img_u8 = jnp.clip(jnp.round(img[:k].astype(jnp.float32)),
+                              0, 255).astype(jnp.uint8)
         # the label plane rides the image ladder as a 4th uint8 channel
         # (nearest-neighbor via the tail-channel mode, fill 0), all four
         # packed into one uint32 lane per pixel
         planes = jnp.concatenate([img_u8, lbl[:k]], axis=-1)
         return _rotate_packed(planes, wp[:k],
                               np.array([128, 128, 128, 0], np.uint8),
-                              two_shear=two_shear, unpack=False)
+                              two_shear=two_shear, unpack=False,
+                              radix4=radix4)
 
     k = (rotate_capacity if rotate_capacity > 0 else b) if rotate else 0
     if 0 < k and 0 < blur_capacity and k + blur_capacity <= b:
@@ -526,16 +556,24 @@ def augment_batch_einsum(images, labels, params, dst_hw: Tuple[int, int],
         # reference photometric order: blur (dataloader.py:118) BEFORE the
         # HSV jitter (:137) — linear blur and the nonlinear HSV map do not
         # commute.  The blur runs on the bf16 [0,255] resample output.
+        tail_in = img[b - m:]
+        if tail_in.dtype == jnp.uint8:
+            tail_in = tail_in.astype(jnp.bfloat16)
         tail = jnp.where(params["blur"][b - m:, None, None, None],
-                         aug.gaussian_blur_einsum(img[b - m:]), img[b - m:])
+                         aug.gaussian_blur_einsum(tail_in), tail_in)
         tail = _hsv(tail, params["gains"][b - m:])
         pieces = [_hsv(_unpack_bytes(rot, 0, 3, jnp.bfloat16),
                        params["gains"][:k])]
         if k < b - m:
             pieces.append(_hsv(img[k:b - m], params["gains"][k:b - m]))
         pieces.append(tail)
-        return jnp.concatenate(pieces, axis=0), lbl[..., 0].astype(jnp.int32)
+        return jnp.concatenate(pieces, axis=0), lbl[..., 0]
 
+    if img.dtype == jnp.uint8:
+        # the piecewise fast path above keeps uint8 until HSV; the fallback
+        # branches below mix rotated bf16 with the resample output, so
+        # unify here (slow path only)
+        img = img.astype(jnp.bfloat16)
     if k > 0:
         rot = _rotate_head(k)
         img = jnp.concatenate([_unpack_bytes(rot, 0, 3, jnp.bfloat16),
@@ -553,4 +591,4 @@ def augment_batch_einsum(images, labels, params, dst_hw: Tuple[int, int],
         blurred = aug.gaussian_blur_einsum(img)
         img = jnp.where(params["blur"][:, None, None, None], blurred, img)
     out = _hsv(img, params["gains"])
-    return out, lbl[..., 0].astype(jnp.int32)
+    return out, lbl[..., 0]

@@ -206,7 +206,7 @@ def _make_train_body(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
 
     def step(state: TrainState, images, labels, aug_params, lr, rng):
         # fused on-device augmentation (einsum warp backend — see
-        # ops/warp_xla.py); returns normalized bf16 images + int32 labels.
+        # ops/warp_xla.py); returns normalized bf16 images + uint8 labels.
         # rotation runs on a fixed batch prefix, blur on a fixed suffix
         # (marginals preserved by the loader shuffle — docs/PARITY.md).
         cap = max(1, images.shape[0] // 4)

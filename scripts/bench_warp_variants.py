@@ -1,7 +1,8 @@
 """Profile augmentation-pipeline variants on the real TPU.
 
 Usage: python scripts/bench_warp_variants.py [variant ...]
-Variants: base, two_shear, b2048, int8, int8_b2048, pallas, pallas_fused,
+Variants: base, two_shear, b2048, int8, int8_b2048, int8_radix4,
+pallas, pallas_fused,
 pallas_planar,
 pallas256, pallas1280, pallas1536, pallas_scan2, pallas_scan3,
 pallas_bsplit, pallas_bsplit_scan2,
@@ -42,7 +43,8 @@ def timed(fn, args_fn, iters=10, warmup=2):
     return dt / iters, tot
 
 
-def full_pipeline(batch, size, two_shear, int8_resample=False):
+def full_pipeline(batch, size, two_shear, int8_resample=False,
+                  radix4=False):
     from cervical_tpu.ops import augment as A
     from cervical_tpu.ops import warp_xla as WX
     rng = np.random.default_rng(0)
@@ -57,7 +59,8 @@ def full_pipeline(batch, size, two_shear, int8_resample=False):
         return WX.augment_batch_einsum(images, labels, params, (size, size),
                                        rotate_capacity=cap, blur_capacity=cap,
                                        two_shear=two_shear,
-                                       int8_resample=int8_resample)
+                                       int8_resample=int8_resample,
+                                       radix4=radix4)
 
     keys = jax.random.split(jax.random.PRNGKey(0), 256)
     dt, _ = timed(pipe, lambda i: (images, labels, keys[i % 256]))
@@ -194,6 +197,9 @@ def main():
             ips = full_pipeline(1024, 512, True, int8_resample=True)
         elif v == "int8_b2048":
             ips = full_pipeline(2048, 512, True, int8_resample=True)
+        elif v == "int8_radix4":
+            ips = full_pipeline(1024, 512, True, int8_resample=True,
+                                radix4=True)
         elif v == "pallas":
             ips = full_pipeline_pallas(1024, 512, fused=False)
         elif v == "pallas_fused":
