@@ -350,8 +350,6 @@ def hsv_jitter_batched_fast(rgb, gains, scale: float = 1.0):
       ``k = (n + h'/30) mod 6`` and n = 5/3/1 for R/G/B — fewer ops, no
       int sector plane, and no equality ties (the function is continuous
       at sector boundaries);
-    * the hue divisions share one hoisted reciprocal (2 divides/pixel
-      instead of 4; ~0.4 ms — XLA already CSEs most of it);
     * each output channel is scaled by ``scale`` and cast to bfloat16
       BEFORE the 3-channel stack, halving the stack's HBM traffic
       (a planar-compute variant measured 4.8 ms WORSE — the transposes
@@ -366,13 +364,18 @@ def hsv_jitter_batched_fast(rgb, gains, scale: float = 1.0):
     v = jnp.maximum(jnp.maximum(r, g), b)
     mn = jnp.minimum(jnp.minimum(r, g), b)
     delta = v - mn
-    rd = 60.0 / jnp.where(delta > 0, delta, 1.0)
-    h = jnp.where(v == r, (g - b) * rd,
-                  jnp.where(v == g, 120.0 + (b - r) * rd,
-                            240.0 + (r - g) * rd))
+    # NOTE: keep the ladder's exact division ordering 60*(x)/safe — a
+    # hoisted reciprocal (60/delta) * (x) rounds differently in f32 and
+    # the integer hue quantization below amplifies half-count flips into
+    # full 2-degree hue steps (measured 6-count RGB deviations).  Perf was
+    # noise-level anyway (XLA CSEs the divides).
+    safe = jnp.where(delta > 0, delta, 1.0)
+    h = jnp.where(v == r, 60.0 * (g - b) / safe,
+                  jnp.where(v == g, 120.0 + 60.0 * (b - r) / safe,
+                            240.0 + 60.0 * (r - g) / safe))
     h = jnp.where(delta > 0, h, 0.0)
     h = jnp.where(h < 0, h + 360.0, h) * 0.5
-    s = 255.0 * delta / jnp.where(v > 0, v, 1.0)
+    s = jnp.where(v > 0, 255.0 * delta / jnp.where(v > 0, v, 1.0), 0.0)
 
     g0 = gains[:, 0][:, None, None]
     g1 = gains[:, 1][:, None, None]

@@ -172,3 +172,29 @@ def test_gaussian_blur_einsum_matches_conv():
     xb = x.astype(jnp.bfloat16)
     eb = np.asarray(A.gaussian_blur_einsum(xb), np.float32)
     np.testing.assert_allclose(eb, conv, atol=1.0, rtol=0)
+
+
+def test_hsv_jitter_batched_fast_matches_ladder():
+    """The closed-form reconstruction (``v - c*clip(min(k,4-k),0,1)``) must
+    match the reference-shaped 6-sector select ladder to within the bf16
+    output rounding (0.5 counts) — including identity gains and the
+    degenerate gray/black pixels the ladder special-cases."""
+    import jax
+    import jax.numpy as jnp
+    from cervical_tpu.ops import augment as A
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.integers(0, 256, (12, 48, 48, 3)), jnp.float32)
+    # force degenerate pixels: gray (delta == 0) and black (v == 0)
+    x = x.at[:, 0, :4].set(77.0).at[:, 1, :4].set(0.0)
+    for gains in (jnp.ones((12, 3), jnp.float32),
+                  jnp.asarray(1.0 + rng.uniform(-0.5, 0.5, (12, 3)),
+                              jnp.float32)):
+        ref = np.asarray(A.hsv_jitter_batched(x, gains))
+        fast = np.asarray(A.hsv_jitter_batched_fast(x, gains), np.float32)
+        assert np.abs(ref - fast).max() <= 0.51
+    # the scale fold: scale=1/255 equals scaling afterwards (1 bf16 ulp)
+    g = jnp.ones((12, 3), jnp.float32)
+    a = np.asarray(A.hsv_jitter_batched_fast(x, g, scale=1.0 / 255.0),
+                   np.float32)
+    b = np.asarray(A.hsv_jitter_batched_fast(x, g), np.float32) / 255.0
+    np.testing.assert_allclose(a, b, atol=4e-3, rtol=0)
