@@ -55,8 +55,15 @@ def head_weights(cfg: FusionTrainConfig) -> Dict[str, float]:
 
 
 class FusionTrainer:
-    def __init__(self, cfg: FusionTrainConfig, rng=None):
+    def __init__(self, cfg: FusionTrainConfig, rng=None, mesh=None):
+        """``mesh``: optional ('data', 'model') jax mesh.  When given,
+        :meth:`init_state` places the params (and therefore the Adam
+        moments) with the Megatron-style tensor-parallel layout of
+        :mod:`cervical_tpu.parallel.tp` — with ``model=1`` this is plain
+        replication, and the jitted steps run data-parallel over
+        'data'-sharded batches (XLA inserts the grad/TP collectives)."""
         self.cfg = cfg
+        self.mesh = mesh
         self.model = build_model(cfg)
         self.rng = rng if rng is not None else jax.random.PRNGKey(cfg.start_seed)
         # torch Adam(lr, weight_decay=5e-4) (my_train(full).py:502) applies
@@ -77,6 +84,11 @@ class FusionTrainer:
     def init_state(self, feats_example, rng) -> Dict:
         variables = self.model.init(rng, feats_example)
         params = variables["params"]
+        if self.mesh is not None:
+            from cervical_tpu.parallel.tp import place_params
+            params = place_params(self.mesh, params)
+        # tx.init's zeros_like inherits the param shardings, so the Adam
+        # moments land TP-sharded too
         return {"params": params, "opt_state": self.tx.init(params)}
 
     # -- jitted steps ------------------------------------------------------

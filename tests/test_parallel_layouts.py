@@ -1,0 +1,172 @@
+"""TP / PP / SP layouts over the virtual 8-device mesh (SURVEY.md §2.4).
+
+The reference is single-GPU torch; these layouts are the TPU-native scaling
+paths this framework adds beyond DDP-equivalent data parallelism:
+
+* tensor parallelism: Megatron-style GSPMD param specs for FusionMAE
+  (:mod:`cervical_tpu.parallel.tp`) — one training step must match the
+  replicated layout numerically;
+* pipeline parallelism: the GPipe ppermute executor
+  (:mod:`cervical_tpu.parallel.pipeline`) — toy chains exactly, xception's
+  16-block middle flow (slow tier) to float tolerance;
+* spatial partitioning (the CV analog of sequence parallelism): the DeepLab
+  forward with the image H axis sharded over 'model' — GSPMD inserts the
+  conv halo exchanges.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cervical_tpu.parallel import (make_mesh, pipeline_apply,
+                                   fusion_param_specs)
+
+
+def _tp_mesh():
+    assert len(jax.devices()) >= 8
+    return make_mesh(8, model_parallel=4)  # (data=2, model=4)
+
+
+# -- pipeline executor -------------------------------------------------------
+
+def _toy_chain(n_blocks=8, d=16, b=8, seed=0):
+    rng = np.random.default_rng(seed)
+    stacked = {
+        "w": jnp.asarray(rng.normal(size=(n_blocks, d, d)) * 0.3, jnp.float32),
+        "b": jnp.asarray(rng.normal(size=(n_blocks, d)), jnp.float32),
+    }
+    x = jnp.asarray(rng.normal(size=(b, 3, d)), jnp.float32)
+
+    def block_fn(p, h):
+        return jnp.tanh(h @ p["w"] + p["b"])
+
+    ref = x
+    for i in range(n_blocks):
+        ref = block_fn(jax.tree_util.tree_map(lambda v: v[i], stacked), ref)
+    return stacked, x, block_fn, ref
+
+
+@pytest.mark.parametrize("microbatches", [1, 2, 4])
+def test_pipeline_toy_matches_sequential(microbatches):
+    stacked, x, block_fn, ref = _toy_chain()
+    out = pipeline_apply(stacked, x, _tp_mesh(), block_fn,
+                         microbatches=microbatches)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # batch stays data-sharded, result replicated over the stage axis
+    assert out.sharding.spec == P("data")
+
+
+def test_pipeline_single_stage_degenerates_to_sequential():
+    stacked, x, block_fn, ref = _toy_chain()
+    mesh = make_mesh(8, model_parallel=1)
+    out = pipeline_apply(stacked, x, mesh, block_fn)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_pipeline_rejects_indivisible_blocks():
+    stacked, x, block_fn, _ = _toy_chain(n_blocks=6)
+    with pytest.raises(ValueError, match="not divisible"):
+        pipeline_apply(stacked, x, _tp_mesh(), block_fn)
+
+
+@pytest.mark.slow
+def test_middle_flow_pipeline_matches_sequential():
+    """The real xception middle flow (16 x XceptionBlock(728)) pipelined
+    over 4 stages must match the backbone's sequential loop."""
+    from cervical_tpu.models.backbones.xception import XceptionBlock
+    from cervical_tpu.parallel import middle_flow_pipeline
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 8, 8, 728)),
+                    jnp.float32)
+    # one variables tree shaped like the backbone scope: block4..block19
+    blk = XceptionBlock(728, 1, dtype=jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), 16)
+    vs = {"params": {}, "batch_stats": {}}
+    for i in range(16):
+        v = blk.init(keys[i], x, train=False)
+        vs["params"][f"block{i + 4}"] = v["params"]
+        vs["batch_stats"][f"block{i + 4}"] = v["batch_stats"]
+
+    ref = x
+    for i in range(16):
+        ref = blk.apply({"params": vs["params"][f"block{i + 4}"],
+                         "batch_stats": vs["batch_stats"][f"block{i + 4}"]},
+                        ref, train=False)[0]
+
+    # batch 4 over data=2 -> local batch 2 -> 2 microbatches of 1
+    out = middle_flow_pipeline(vs, x, _tp_mesh(), microbatches=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+# -- tensor parallelism ------------------------------------------------------
+
+def test_fusion_tp_step_matches_replicated():
+    """One fusion training step with TP-sharded params must produce the
+    replicated layout's loss (and stay sharded after the update)."""
+    from cervical_tpu.config import FusionTrainConfig
+    from cervical_tpu.train.fusion_trainer import FusionTrainer
+    from cervical_tpu.data.fusion_data import make_synthetic_fusion
+    from cervical_tpu.data.masks import generate_modal_masks
+
+    cfg = FusionTrainConfig(in_features=64, hidden=64, dtype="float32",
+                            epoch0_no_step=False)
+    ds = make_synthetic_fusion(num_patients=8, feature_dim=64)
+    feats0 = {m: jnp.asarray(v[:1]) for m, v in ds["feats"].items()}
+    mask = generate_modal_masks(jax.random.PRNGKey(2), 8, 4)
+    labels = jnp.asarray(ds["labels"])
+    w = jnp.ones(8, jnp.float32)
+    args = (mask, jnp.asarray(1e-3), jnp.asarray(True), jax.random.PRNGKey(3), w)
+
+    t0 = FusionTrainer(cfg)
+    s0 = t0.init_state(feats0, jax.random.PRNGKey(1))
+    feats_r = {m: jnp.asarray(v) for m, v in ds["feats"].items()}
+    s0, m0 = t0.train_step_fn()(s0, feats_r, labels, *args)
+
+    mesh = _tp_mesh()
+    t1 = FusionTrainer(cfg, mesh=mesh)
+    s1 = t1.init_state(feats0, jax.random.PRNGKey(1))
+    specs = fusion_param_specs(s1["params"])
+    n_sharded = sum(1 for s in jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda x: isinstance(x, P)) if s != P())
+    assert n_sharded >= 40  # the transformer/tower matmuls are really split
+    feats_s = {m: jax.device_put(np.asarray(v),
+                                 NamedSharding(mesh, P("data")))
+               for m, v in ds["feats"].items()}
+    s1, m1 = t1.train_step_fn()(s1, feats_s, labels, *args)
+
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    qkv = s1["params"]["mae"]["encoder"]["block0"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P(None, "model")  # survived the update
+    # second step from the updated states still agrees (the one-step param
+    # deltas differ only by Adam's sign-sensitivity at |g| ~ float noise)
+    s0, m0b = t0.train_step_fn()(s0, feats_r, labels, *args)
+    s1, m1b = t1.train_step_fn()(s1, feats_s, labels, *args)
+    np.testing.assert_allclose(float(m0b["loss"]), float(m1b["loss"]),
+                               rtol=1e-3)
+
+
+# -- spatial partitioning ----------------------------------------------------
+
+def test_spatial_sharded_deeplab_matches_unsharded():
+    """DeepLab eval with the H axis sharded over 'model' (GSPMD conv halo
+    exchange) must reproduce the unsharded forward."""
+    from cervical_tpu.models.deeplab import DeepLab
+
+    model = DeepLab(num_classes=5, backbone="mobilenet",
+                    downsample_factor=16, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)),
+                    jnp.float32)
+    vs = model.init(jax.random.PRNGKey(0), x)
+    fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    ref = fn(vs, x)
+
+    mesh = _tp_mesh()
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "model")))
+    vss = jax.device_put(vs, NamedSharding(mesh, P()))
+    out = fn(vss, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
