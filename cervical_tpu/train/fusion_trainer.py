@@ -39,6 +39,19 @@ from cervical_tpu.models.fusion import FusionMAE
 from cervical_tpu.train.schedules import fusion_step_decay
 
 
+def _to_jsonable(x):
+    """Recursively convert numpy containers to plain JSON types."""
+    if isinstance(x, dict):
+        return {k: _to_jsonable(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [_to_jsonable(v) for v in x]
+    if isinstance(x, np.ndarray):
+        return x.tolist()
+    if isinstance(x, (np.floating, np.integer)):
+        return x.item()
+    return x
+
+
 def build_model(cfg: FusionTrainConfig) -> FusionMAE:
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.dtype]
     return FusionMAE(modalities=tuple(cfg.modalities),
@@ -340,7 +353,7 @@ class FusionTrainer:
 
     # -- cross-validation driver ------------------------------------------
     def cross_validate(self, ds, epochs: Optional[int] = None, log=print,
-                       save_dir: Optional[str] = None):
+                       save_dir: Optional[str] = None, resume: bool = True):
         """Seed-repeat x stratified-K-fold CV with inner train/val split and
         best-by-val-accuracy selection (main, my_train(full).py:417-623).
 
@@ -353,6 +366,13 @@ class FusionTrainer:
         :meth:`request_stop`) stop the epoch loop, finalize the CURRENT
         fold from its best-by-val params, and return the completed folds
         (result carries ``stopped_early``).
+
+        Fold-level resume (``resume``, default on): with ``save_dir`` set,
+        every completed fold is persisted to ``cv_progress.json``; a rerun
+        loads it and skips completed (seed, fold) pairs.  Each fold's PRNG
+        stream is keyed by ``fold_in(rng, seed*1000 + fold)``, so the
+        resumed remainder is bitwise-identical to an uninterrupted run
+        (loaded folds carry JSON lists where fresh folds carry ndarrays).
         """
         import signal
         import threading
@@ -371,7 +391,8 @@ class FusionTrainer:
             for sig in (signal.SIGTERM, signal.SIGINT):
                 prev_handlers[sig] = signal.signal(sig, _request_stop)
         try:
-            return self._cross_validate(ds, epochs, labels, log, save_dir)
+            return self._cross_validate(ds, epochs, labels, log, save_dir,
+                                        resume)
         finally:
             for sig, h in prev_handlers.items():
                 signal.signal(sig, h)
@@ -381,21 +402,41 @@ class FusionTrainer:
         fold from best-by-val params, return completed results)."""
         self._stop_requested = True
 
-    def _cross_validate(self, ds, epochs, labels, log, save_dir):
+    def _cross_validate(self, ds, epochs, labels, log, save_dir, resume=True):
+        import json
+        import os
+
         cfg = self.cfg
         # device-resident cohort: per-epoch batching becomes on-device
         # gathers (measured 26x faster epochs than host-sliced batches on the
         # target chip — 0.33 s for a 1792-patient 4-modal epoch)
         ds = dict(ds)
         ds["feats"] = {m: jnp.asarray(v) for m, v in ds["feats"].items()}
+        progress_path = (os.path.join(save_dir, "cv_progress.json")
+                         if save_dir else None)
+        done = {}
+        if resume and progress_path and os.path.exists(progress_path):
+            with open(progress_path) as f:
+                done = {(r["seed"], r["fold"]): r
+                        for r in json.load(f)["folds"]}
+            if done:
+                log(f"resuming: {len(done)} completed folds loaded from "
+                    f"{progress_path}")
+        base_rng = self.rng
         results = []
         for seed in range(cfg.start_seed, cfg.start_seed + cfg.repeat_num):
             fold_results = []
             for fold, (train_idx, test_idx) in enumerate(
                     split_lib.stratified_kfold(labels, cfg.kfold, seed=seed)):
+                if (seed, fold) in done:
+                    fold_results.append(done[(seed, fold)])
+                    continue
                 tr_idx, val_idx = split_lib.train_test_split(
                     train_idx, cfg.inner_test_size, seed=seed,
                     stratify=labels[train_idx])
+                # fold-keyed PRNG stream: each fold's trajectory is
+                # independent of execution order, making resume exact
+                self.rng = jax.random.fold_in(base_rng, seed * 1000 + fold)
                 self.rng, init_key = jax.random.split(self.rng)
                 feats0 = {m: jnp.asarray(v[:1])
                           for m, v in ds["feats"].items()}
@@ -455,6 +496,14 @@ class FusionTrainer:
                                      "test": final,
                                      "epoch_test": epoch_test})
                 log(f"seed {seed} fold {fold}: test acc {final['acc_all']:.3f}")
+                if progress_path:
+                    # durable fold-level progress (atomic rename) — the
+                    # resume source after preemption/crash
+                    tmp = progress_path + ".tmp"
+                    with open(tmp, "w") as f:
+                        json.dump(_to_jsonable(
+                            {"folds": results + fold_results}), f)
+                    os.replace(tmp, progress_path)
                 if self._stop_requested:
                     break
             results.extend(fold_results)
@@ -464,25 +513,12 @@ class FusionTrainer:
                 break
         mean_acc = float(np.mean([r["test"]["acc_all"] for r in results]))
         if save_dir:
-            import json
-            import os
-
-            def clean(x):
-                if isinstance(x, dict):
-                    return {k: clean(v) for k, v in x.items()}
-                if isinstance(x, (list, tuple)):
-                    return [clean(v) for v in x]
-                if isinstance(x, np.ndarray):
-                    return x.tolist()
-                if isinstance(x, (np.floating, np.integer)):
-                    return x.item()
-                return x
-
             with open(os.path.join(save_dir, "cv_results.json"), "w") as f:
-                json.dump(clean({"folds": results,
-                                 "mean_test_acc": mean_acc,
-                                 "stopped_early": self._stop_requested,
-                                 "modalities": list(self.cfg.modalities)}),
+                json.dump(_to_jsonable(
+                    {"folds": results,
+                     "mean_test_acc": mean_acc,
+                     "stopped_early": self._stop_requested,
+                     "modalities": list(self.cfg.modalities)}),
                           f, indent=1)
             # fold-aggregated confusion -> bar charts + CSVs, the
             # classification-side analog of the seg show_results dump

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 
 def bench(backend: str, backbone="mobilenet", batch=8, size=512, iters=8, warmup=4,
-          frozen=False, seed=0):
+          frozen=False, seed=0, scan_k=0):
     from cervical_tpu.ops import conv as C
     from cervical_tpu.config import SegTrainConfig, SegDataConfig
     from cervical_tpu.train import seg_trainer as T
@@ -45,33 +45,60 @@ def bench(backend: str, backbone="mobilenet", batch=8, size=512, iters=8, warmup
                          backbone=backbone, unfreeze_batch_size=batch,
                          head_conv_backend=head)
     state = T.create_state(cfg, jax.random.PRNGKey(0))
-    step = T.make_train_step(cfg, T.build_model(cfg), T.make_optimizer(cfg),
-                             frozen=frozen)
-
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.integers(0, 256, (batch, size, size, 3)),
-                         jnp.uint8)
-    labels = jnp.asarray(rng.integers(0, 5, (batch, size, size)), jnp.uint8)
+    if scan_k:
+        # the production epoch path (SegTrainConfig.steps_per_call): K
+        # optimizer steps scanned into ONE program, amortizing the fixed
+        # ~28 ms dispatch cost (docs/PLATFORM.md) to ~28/K ms per step
+        step = T.make_train_step_scan(cfg, T.build_model(cfg),
+                                      T.make_optimizer(cfg), frozen=frozen,
+                                      k=scan_k)
+        images = jnp.asarray(
+            rng.integers(0, 256, (scan_k, batch, size, size, 3)), jnp.uint8)
+        labels = jnp.asarray(
+            rng.integers(0, 5, (scan_k, batch, size, size)), jnp.uint8)
 
+        def run(i):
+            key = jax.random.PRNGKey(seed * 1000 + i)
+            return step(state, images, labels, jnp.float32(1e-4), key)
 
-    def run(i):
-        # aug_params=None: the production path (sampling inside the jit)
-        key = jax.random.PRNGKey(seed * 1000 + i)
-        return step(state, images, labels, None, jnp.float32(1e-4), key)
+        def flops_of():
+            return step_flops(step, state, images, labels, scan=True)
+    else:
+        step = T.make_train_step(cfg, T.build_model(cfg),
+                                 T.make_optimizer(cfg), frozen=frozen)
+        images = jnp.asarray(rng.integers(0, 256, (batch, size, size, 3)),
+                             jnp.uint8)
+        labels = jnp.asarray(rng.integers(0, 5, (batch, size, size)),
+                             jnp.uint8)
+
+        def run(i):
+            # aug_params=None: the production path (sampling inside the jit)
+            key = jax.random.PRNGKey(seed * 1000 + i)
+            return step(state, images, labels, None, jnp.float32(1e-4), key)
+
+        def flops_of():
+            return step_flops(step, state, images, labels)
 
     t0 = time.perf_counter()
     out_state, metrics = run(0)
-    _ = float(metrics["loss"])
+    _ = float(metrics["loss"].sum())
     compile_s = time.perf_counter() - t0
-    flops = step_flops(step, state, images, labels)
+    flops = flops_of()
     for i in range(warmup):
         _, metrics = run(i + 1)
-    _ = float(metrics["loss"])
+    _ = float(metrics["loss"].sum())
     t0 = time.perf_counter()
     for i in range(iters):
         _, metrics = run(100 + i)
-    _ = float(metrics["loss"])
+    _ = float(metrics["loss"].sum())
     dt = (time.perf_counter() - t0) / iters
+    if scan_k:
+        # report per-optimizer-step figures.  dt divides by K; flops does
+        # NOT — XLA cost analysis counts the scan body ONCE (verified on
+        # chip: scan-4 program reports 3.783 TFLOP == the single-step
+        # program), so the reported flops already are per-step.
+        dt /= scan_k
     return dt, compile_s, flops
 
 
@@ -80,12 +107,13 @@ def bench(backend: str, backbone="mobilenet", batch=8, size=512, iters=8, warmup
 V5E_PEAK_BF16_TFLOPS = 197.0
 
 
-def step_flops(step, state, images, labels):
+def step_flops(step, state, images, labels, scan=False):
     """XLA cost-analysis FLOPs for one compiled train step (or None if the
     platform's compiled-executable analysis is unavailable)."""
     try:
-        compiled = step.lower(state, images, labels, None,
-                              jnp.float32(1e-4),
+        args = ((state, images, labels) if scan
+                else (state, images, labels, None))
+        compiled = step.lower(*args, jnp.float32(1e-4),
                               jax.random.PRNGKey(0)).compile()
         costs = compiled.cost_analysis()
         if isinstance(costs, (list, tuple)):  # older jax: one dict/device
@@ -101,18 +129,22 @@ def main():
         parts = arg.split(":")
         backend = parts[0]
         backbone = (parts[1] if len(parts) > 1 else "") or "mobilenet"
-        frozen = len(parts) > 2 and parts[2] == "frozen"
-        if len(parts) > 2 and parts[2] not in ("frozen", ""):
-            sys.exit(f"unknown step variant {parts[2]!r} (use 'frozen')")
+        variant = parts[2] if len(parts) > 2 else ""
+        frozen = variant == "frozen"
+        scan_k = int(variant[4:]) if variant.startswith("scan") else 0
+        if variant and not (frozen or scan_k):
+            sys.exit(f"unknown step variant {variant!r} "
+                     "(use 'frozen' or 'scanK', e.g. scan4)")
         if len(parts) > 4:
             sys.exit(f"too many ':' segments in {arg!r}")
         batch = int(parts[3]) if len(parts) > 3 and parts[3] else 8
         # distinct seed per run so repeated variants never replay inputs
         # (tunnel result-cache rule, scripts/_bench_util.py)
         dt, compile_s, flops = bench(backend, backbone, batch=batch,
-                                     frozen=frozen, seed=run_i + 1)
+                                     frozen=frozen, seed=run_i + 1,
+                                     scan_k=scan_k)
         rec = {"backend": backend, "backbone": backbone,
-               "frozen": frozen, "batch": batch,
+               "frozen": frozen, "scan_k": scan_k, "batch": batch,
                "step_ms": round(dt * 1e3, 1),
                "images_per_sec": round(batch / dt, 1),
                "compile_s": round(compile_s, 1)}

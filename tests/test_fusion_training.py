@@ -251,3 +251,44 @@ def test_mse_factor_knob_scales_aux_loss():
     # same params/data/key: the only difference is the aux scaling, and
     # loss(25) - loss(5) = (25-5)/5 * mean_mse = 4x the factor-5 aux > 0
     assert losses[25.0] > losses[5.0] + 1e-6, losses
+
+
+def test_cross_validate_fold_resume_exact(tmp_path):
+    """Fold-level resume (SURVEY §5.3): a run preempted after fold 0
+    resumes from cv_progress.json and — because each fold's PRNG stream is
+    fold-keyed — the completed CV matches an uninterrupted run exactly."""
+    cfg = FusionTrainConfig(in_features=32, hidden=64, epochs=2, kfold=3,
+                            repeat_num=1, epoch0_no_step=False)
+    ds = make_synthetic_fusion(num_patients=45, feature_dim=32, seed=3)
+
+    # uninterrupted baseline
+    full = FusionTrainer(cfg).cross_validate(
+        ds, log=lambda *a: None, save_dir=str(tmp_path / "full"))
+    assert len(full["folds"]) == 3
+
+    # preempted after the first fold
+    part_dir = tmp_path / "part"
+    trainer = FusionTrainer(cfg)
+
+    def stopping_log(msg):
+        if "test acc" in msg:
+            trainer.request_stop()
+
+    part = trainer.cross_validate(ds, log=stopping_log,
+                                  save_dir=str(part_dir))
+    assert part["stopped_early"] and len(part["folds"]) == 1
+    assert (part_dir / "cv_progress.json").exists()
+
+    # fresh process equivalent: new trainer, same config, resume
+    resumed = FusionTrainer(cfg).cross_validate(
+        ds, log=lambda *a: None, save_dir=str(part_dir))
+    assert len(resumed["folds"]) == 3
+    for a, b in zip(full["folds"], resumed["folds"]):
+        assert a["seed"] == b["seed"] and a["fold"] == b["fold"]
+        np.testing.assert_allclose(a["val_acc"], b["val_acc"])
+        np.testing.assert_allclose(a["test"]["acc_all"],
+                                   b["test"]["acc_all"])
+        np.testing.assert_array_equal(np.asarray(a["test"]["confusion"]),
+                                      np.asarray(b["test"]["confusion"]))
+    np.testing.assert_allclose(full["mean_test_acc"],
+                               resumed["mean_test_acc"])
