@@ -16,7 +16,7 @@ natural fit in this model family is Xception's 16-block middle flow
 
 Composes with data parallelism: the batch axis stays sharded over
 ``data`` while stages ride ``model``.  Numerical equivalence with the
-sequential forward is asserted in ``tests/test_parallel_pipeline.py`` and
+sequential forward is asserted in ``tests/test_parallel_layouts.py`` and
 the xception wiring is exercised by ``dryrun_multichip``.
 """
 

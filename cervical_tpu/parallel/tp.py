@@ -20,7 +20,7 @@ arity.  Dims that don't divide the ``model`` axis are padded by GSPMD —
 correctness is unconditional; efficiency wants ``hidden % model == 0``.
 
 Numerical equivalence with the replicated layout is asserted in
-``tests/test_parallel_tp.py`` and exercised by ``dryrun_multichip``.
+``tests/test_parallel_layouts.py`` and exercised by ``dryrun_multichip``.
 """
 
 from __future__ import annotations

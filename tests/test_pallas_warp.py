@@ -207,3 +207,14 @@ def test_planar_input_matches_nhwc():
     np.testing.assert_array_equal(np.asarray(ni, np.float32),
                                   np.asarray(pi, np.float32))
     np.testing.assert_array_equal(np.asarray(nl), np.asarray(pl_))
+
+
+def test_vmem_budget_env_scale(monkeypatch):
+    """CERVICAL_PALLAS_VMEM_SCALE multiplies the declared scoped-vmem
+    budgets (bench.py's drift-recovery retry knob)."""
+    monkeypatch.delenv("CERVICAL_PALLAS_VMEM_SCALE", raising=False)
+    assert PW._vmem_budget(32) == 32 * 2**20
+    monkeypatch.setenv("CERVICAL_PALLAS_VMEM_SCALE", "2")
+    assert PW._vmem_budget(32) == 64 * 2**20
+    monkeypatch.setenv("CERVICAL_PALLAS_VMEM_SCALE", "1.5")
+    assert PW._vmem_budget(32) == 48 * 2**20
