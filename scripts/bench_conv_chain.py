@@ -48,18 +48,20 @@ CHAIN = 32
 
 def chain(op, x0, flops_per_op, bytes_per_op, iters=4, label="",
           unroll=False):
+    carry = x0.dtype  # int8 variants carry int8 (op requantizes + clips)
+
     if unroll:
         @jax.jit
         def fn(x, s):
             for _ in range(CHAIN):
-                x = (op(x) * s).astype(jnp.bfloat16)
+                x = (op(x) * s).astype(carry)
             return x
     else:
         @jax.jit
         def fn(x, s):
             def body(_, c):
                 c = op(c)
-                return (c * s).astype(jnp.bfloat16)
+                return (c * s).astype(carry)
             return lax.fori_loop(0, CHAIN, body, x)
 
     scales = [jnp.bfloat16(1.0 + 1e-3 * i) for i in range(iters + 1)]
@@ -164,9 +166,31 @@ def build(variant, batch=8):
         x = act(b, h, h, c)
         op = lambda v: v * jnp.bfloat16(1.0009765625) + jnp.bfloat16(1e-3)
         flops = 2 * b * h * h * c
+    elif variant in ("pw728i8", "e3x3i8", "entryi8"):
+        # int8 x int8 -> int32 convs (PTQ-serving candidates): do they hit
+        # the int8 MXU (2x bf16 peak) at the geometries where bf16 convs
+        # are compute-bound?  Requant back to int8 in-chain (shift+clip),
+        # mirroring a quantized inference graph's inter-layer carry.
+        geom = {"pw728i8": (8, 32, 728, 1),
+                "e3x3i8": (8, 128, 256, 3),
+                "entryi8": (8, 256, 128, 3)}
+        b, h, c, kk = geom[variant]
+        x = jnp.asarray(rng.integers(-127, 128, (b, h, h, c)), jnp.int8)
+        k = jnp.asarray(rng.integers(-127, 128, (kk, kk, c, c)), jnp.int8)
+        shift = int(np.log2(c * kk * kk * 42)) + 1  # keep requant in range
+
+        def op(v):
+            y = lax.conv_general_dilated(
+                v, k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            return jnp.clip(y >> shift, -127, 127).astype(jnp.int8)
+
+        flops = 2 * b * h * h * c * c * kk * kk
     else:
         raise SystemExit(f"unknown variant {variant!r}")
-    bytes_per_op = 2 * 2 * x.size  # bf16 read + write of the activation
+    # activation read + write at the carry dtype
+    bytes_per_op = 2 * x.dtype.itemsize * x.size
     return x, op, flops, bytes_per_op
 
 
