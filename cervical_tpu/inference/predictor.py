@@ -101,12 +101,85 @@ class SegPredictor:
     def predict_mask(self, image: np.ndarray) -> np.ndarray:
         return self.predict_probs(image).argmax(axis=-1).astype(np.uint8)
 
+    # -- tiled (native-resolution) inference ----------------------------------
+    def predict_probs_tiled(self, image: np.ndarray, overlap: float = 0.25,
+                            batch_size: int = 8) -> np.ndarray:
+        """Sliding-window inference at NATIVE resolution for images larger
+        than the network input.
+
+        Beyond the reference: ``detect_image`` letterboxes every input down
+        to ``input_shape`` (deeplab.py:108-148), so a large acquisition is
+        segmented at reduced effective resolution.  Here the image is
+        covered by overlapping ``input_shape`` tiles instead — TPU-shaped:
+        every tile has the SAME static shape and tiles stream through ONE
+        compiled batched forward (fixed ``batch_size``, ragged tail
+        padded); per-tile class probabilities are blended with a separable
+        Hann weight window so tile seams vanish.
+
+        ``overlap``: fraction of tile extent shared between neighbors
+        (0 <= overlap < 1).  Returns (H, W, num_classes) float32 probs.
+        """
+        if not 0.0 <= overlap < 1.0:
+            raise ValueError(f"overlap must be in [0, 1), got {overlap}")
+        image = np.asarray(image)
+        ih, iw = image.shape[:2]
+        th, tw = self.cfg.data.input_shape
+        # images smaller than one tile in either dim: edge-pad up to the
+        # tile, predict, crop back (no resampling — still native-res)
+        ph, pw = max(0, th - ih), max(0, tw - iw)
+        if ph or pw:
+            image = np.pad(image, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        H, W = image.shape[:2]
+
+        def origins(extent, tile, frac):
+            stride = max(1, int(round(tile * (1.0 - frac))))
+            os_ = list(range(0, extent - tile + 1, stride))
+            if os_[-1] != extent - tile:  # final tile aligned to the edge
+                os_.append(extent - tile)
+            return os_
+
+        ys, xs = origins(H, th, overlap), origins(W, tw, overlap)
+        # separable Hann window, floored so edge pixels (covered by a
+        # single tile) keep nonzero weight and normalize to that tile's
+        # prediction exactly
+        wy = np.hanning(th + 2)[1:-1] if th > 1 else np.ones(1)
+        wx = np.hanning(tw + 2)[1:-1] if tw > 1 else np.ones(1)
+        window = np.maximum(np.outer(wy, wx), 1e-3).astype(np.float32)
+
+        dt = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+        tiles = [(y, x) for y in ys for x in xs]
+        nc = self.cfg.data.num_classes
+        acc = np.zeros((H, W, nc), np.float32)
+        wsum = np.zeros((H, W, 1), np.float32)
+        for i in range(0, len(tiles), batch_size):
+            chunk = tiles[i:i + batch_size]
+            batch = np.stack([image[y:y + th, x:x + tw] for y, x in chunk])
+            if len(chunk) < batch_size:  # pad tail: ONE compiled shape
+                batch = np.concatenate(
+                    [batch, np.zeros((batch_size - len(chunk), th, tw,
+                                      image.shape[2]), batch.dtype)])
+            x_dev = jnp.asarray(
+                preprocess_input(batch.astype(np.float32)), dt)
+            probs = np.asarray(self._run(x_dev), np.float32)
+            for (y, x), p in zip(chunk, probs):
+                acc[y:y + th, x:x + tw] += p * window[..., None]
+                wsum[y:y + th, x:x + tw] += window[..., None]
+        out = acc / wsum
+        return out[:ih, :iw]
+
+    def predict_mask_tiled(self, image: np.ndarray, overlap: float = 0.25,
+                           batch_size: int = 8) -> np.ndarray:
+        return (self.predict_probs_tiled(image, overlap, batch_size)
+                .argmax(axis=-1).astype(np.uint8))
+
     # -- render modes ---------------------------------------------------------
     def detect_image(self, image: np.ndarray, mix_type: int = 0,
-                     count: bool = False):
+                     count: bool = False, tiled: bool = False):
         """Returns the rendered uint8 RGB image; optionally prints per-class
-        pixel counts (deeplab.py:152-163)."""
-        mask = self.predict_mask(image)
+        pixel counts (deeplab.py:152-163).  ``tiled=True`` segments at
+        native resolution via :meth:`predict_mask_tiled`."""
+        mask = self.predict_mask_tiled(image) if tiled \
+            else self.predict_mask(image)
         if count:
             classes_nums = np.bincount(mask.reshape(-1),
                                        minlength=self.cfg.data.num_classes)

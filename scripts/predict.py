@@ -5,11 +5,13 @@ the DeeplabV3 predictor modes of deeplab.py).
 Usage:
     python scripts/predict.py --ckpt logs/best_epoch_weights --image x.jpg \
         [--mix_type 0] [--out out.png] [--fps 100] [--export model.stablehlo] \
-        [--fused_middle true]
+        [--fused_middle true] [--tiled true]
 
 ``--fused_middle``: xception-only eval fast path — run backbone blocks 4-19
 as one fused pallas kernel (ops/pallas_xception.py).  Exports always use
 the portable pure-XLA model regardless.
+``--tiled``: native-resolution sliding-window inference (Hann-blended
+overlapping input_shape tiles) instead of the reference's letterbox-downscale.
 """
 
 import sys
@@ -31,7 +33,7 @@ def main(argv):
                       {k: v for k, v in args.items()
                        if k not in ("ckpt", "image", "mix_type", "out",
                                     "fps", "export", "count",
-                                    "fused_middle")})
+                                    "fused_middle", "tiled")})
     trainer = SegTrainer(cfg)
     ckpt = args.get("ckpt")
     if ckpt:
@@ -54,7 +56,8 @@ def main(argv):
         return
 
     rendered = predictor.detect_image(image, mix_type=int(args.get("mix_type", 0)),
-                                      count=bool(args.get("count", False)))
+                                      count=bool(args.get("count", False)),
+                                      tiled=bool(args.get("tiled", False)))
     out = args.get("out", "prediction.png")
     Image.fromarray(rendered).save(out)
     print(f"saved {out}")

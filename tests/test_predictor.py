@@ -108,3 +108,54 @@ def test_predictor_miou_callback(tmp_path):
     # second run reuses the cached predictor with refreshed weights
     miou2 = cb.run(cfg, trainer.state, 3, log=lambda *a: None)
     assert 0.0 <= miou2 <= 1.0
+
+
+# -- tiled (native-resolution) inference -------------------------------------
+
+def _pixelwise_probs(x):
+    """Deterministic per-pixel 'probs' — pixel-local, so any correct tile
+    stitching must reproduce the whole-image map exactly."""
+    import jax.numpy as jnp
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    ch = jnp.stack([r + 0.1, g + 0.2, b + 0.3, r * g + 0.05, (r + b) / 2], -1)
+    return ch / ch.sum(-1, keepdims=True)
+
+
+@pytest.mark.parametrize("shape", [(100, 75), (32, 32), (20, 45), (64, 64)])
+def test_tiled_stitching_reproduces_pixelwise_map(predictor, shape):
+    """Overlap blending is a convex combination of per-tile predictions;
+    with a pixel-local model every tile agrees, so the tiled output must
+    equal the whole-image map for ANY size (larger, equal, smaller than
+    the 32x32 tile; odd strides; edge-aligned final tiles)."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (*shape, 3)).astype(np.uint8)
+    orig = predictor._run
+    predictor._run = lambda x: _pixelwise_probs(x)
+    try:
+        out = predictor.predict_probs_tiled(img, overlap=0.25, batch_size=3)
+    finally:
+        predictor._run = orig
+    expect = np.asarray(_pixelwise_probs(img.astype(np.float32) / 255.0),
+                        np.float32)
+    assert out.shape == expect.shape
+    np.testing.assert_allclose(out, expect, atol=1e-5)
+
+
+def test_tiled_single_tile_matches_direct(predictor):
+    """An exactly-tile-sized image: the window normalizes out and the
+    tiled path must agree with predict_probs (identity letterbox)."""
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+    np.testing.assert_allclose(predictor.predict_probs_tiled(img),
+                               predictor.predict_probs(img), atol=1e-5)
+
+
+def test_tiled_mask_and_detect(predictor):
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 255, (70, 90, 3)).astype(np.uint8)
+    mask = predictor.predict_mask_tiled(img)
+    assert mask.shape == (70, 90) and mask.max() < 5
+    rendered = predictor.detect_image(img, mix_type=1, tiled=True)
+    assert rendered.shape == (70, 90, 3) and rendered.dtype == np.uint8
+    with pytest.raises(ValueError):
+        predictor.predict_probs_tiled(img, overlap=1.0)
