@@ -151,6 +151,10 @@ class SegPredictor:
         nc = self.cfg.data.num_classes
         acc = np.zeros((H, W, nc), np.float32)
         wsum = np.zeros((H, W, 1), np.float32)
+        # dispatch every batch before fetching any result: jax dispatch is
+        # async, so the per-call host round-trip (~30-70 ms on the tunnel
+        # platform, docs/PLATFORM.md) overlaps device compute
+        inflight = []
         for i in range(0, len(tiles), batch_size):
             chunk = tiles[i:i + batch_size]
             batch = np.stack([image[y:y + th, x:x + tw] for y, x in chunk])
@@ -160,7 +164,9 @@ class SegPredictor:
                                       image.shape[2]), batch.dtype)])
             x_dev = jnp.asarray(
                 preprocess_input(batch.astype(np.float32)), dt)
-            probs = np.asarray(self._run(x_dev), np.float32)
+            inflight.append((chunk, self._run(x_dev)))
+        for chunk, probs_dev in inflight:
+            probs = np.asarray(probs_dev, np.float32)
             for (y, x), p in zip(chunk, probs):
                 acc[y:y + th, x:x + tw] += p * window[..., None]
                 wsum[y:y + th, x:x + tw] += window[..., None]
