@@ -250,11 +250,20 @@ def _warp_image_kernel(params_ref, img_ref, out_ref, *, size: int,
         h = h + fill_x
         h = h.astype(jnp.bfloat16)
         # predicated: only rotating images pay the 3-shear ladders
-        out_ref[0, ch] = jax.lax.cond(
+        res = jax.lax.cond(
             angle != 0.0,
             lambda t: _rotate_plane(t, tanh, sint, fill, nearest=False,
                                     size=size),
             lambda t: t, h)
+        if out_ref.dtype == jnp.uint8:
+            # uint8 inter-stage carry (the reference's PIL chain is uint8
+            # at this boundary, dataloader.py:111): halves the HBM write +
+            # the photometric read.  Round-nearest via the i32 hop Mosaic
+            # needs; values are convex combinations of [0,255] inputs and
+            # the fill, clip guards bf16 edge rounding.
+            res = jnp.clip(jnp.round(res.astype(jnp.float32)), 0.0, 255.0) \
+                .astype(jnp.int32).astype(jnp.uint8)
+        out_ref[0, ch] = res
 
 
 def _warp_label_kernel(params_ref, lbl_ref, out_ref, *, size: int,
@@ -287,9 +296,14 @@ def _warp_label_kernel(params_ref, lbl_ref, out_ref, *, size: int,
 
 
 def warp_images(images_planar, warp_params, out_size: int = None,
-                interpret: bool = False):
-    """Batched geometric warp: (B, 3, Hs, Ws) uint8 -> (B, 3, S, S) bfloat16
-    in [0, 255]."""
+                interpret: bool = False, out_dtype=jnp.bfloat16):
+    """Batched geometric warp: (B, 3, Hs, Ws) uint8 -> (B, 3, S, S)
+    ``out_dtype`` in [0, 255].
+
+    ``out_dtype=jnp.uint8`` rounds to the nearest integer — exactly
+    ``clip(round(bf16_result), 0, 255)`` — matching the reference's uint8
+    image chain and halving the inter-stage HBM traffic to
+    :func:`photometric`."""
     b, c, sh, sw = images_planar.shape
     s = out_size or sh
     kernel = functools.partial(_warp_image_kernel, size=s, src_hw=(sh, sw))
@@ -303,7 +317,7 @@ def warp_images(images_planar, warp_params, out_size: int = None,
     )
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, c, s, s), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((b, c, s, s), out_dtype),
         interpret=interpret,
     )(warp_params, images_planar)
 
@@ -492,9 +506,15 @@ def _photometric_kernel(pparams_ref, img_ref, out_ref, *, size: int,
 
     # HSV stays f32: bf16 division noise flips hue sectors on ~1% of
     # pixels (channel-swap errors up to ~15 counts — measured)
-    r = img_ref[0, 0].astype(jnp.float32)
-    g = img_ref[0, 1].astype(jnp.float32)
-    bl = img_ref[0, 2].astype(jnp.float32)
+    def load(i):
+        p = img_ref[0, i]
+        if p.dtype == jnp.uint8:  # uint8 carry: the i32 hop Mosaic needs
+            return p.astype(jnp.int32).astype(jnp.float32)
+        return p.astype(jnp.float32)
+
+    r = load(0)
+    g = load(1)
+    bl = load(2)
 
     # blur BEFORE the HSV jitter — the reference order (dataloader.py:118
     # then :137); linear blur and the nonlinear HSV map do not commute.
@@ -576,12 +596,14 @@ def photometric(images_planar, gains, blur_flags, interpret: bool = False,
 @functools.partial(jax.jit, static_argnames=("dst_hw", "letterbox",
                                              "interpret", "normalized",
                                              "fused", "blur_dtype",
-                                             "planar", "blur_capacity"))
+                                             "planar", "blur_capacity",
+                                             "carry_u8"))
 def augment_batch_pallas(images, labels, params, dst_hw: Tuple[int, int],
                          letterbox: bool = False, interpret: bool = False,
                          normalized: bool = True, fused: bool = False,
                          blur_dtype=jnp.float32, planar: bool = False,
-                         blur_capacity: int | None = None):
+                         blur_capacity: int | None = None,
+                         carry_u8: bool = False):
     """Drop-in fast path for :func:`cervical_tpu.ops.augment.augment_batch`.
 
     ``images``: (B, H, W, 3) uint8 — or, with ``planar=True``, (B, 3, H, W)
@@ -608,6 +630,11 @@ def augment_batch_pallas(images, labels, params, dst_hw: Tuple[int, int],
     ``bench_warp_variants.py pallas pallas_bsplit ...``): the split's
     second pallas launch + the (B,3,S,S) concatenate cost more than the
     skipped blurs.  Kept (bit-exact, tested) for re-probes.
+
+    ``carry_u8``: round the geometric warp's output to uint8 before the
+    photometric kernel (exactly ``clip(round(bf16), 0, 255)``) — the
+    reference's own inter-stage dtype (PIL rotate -> uint8 -> cv2 HSV,
+    dataloader.py:111-137) and half the inter-stage HBM traffic.
     """
     src_hw = tuple(images.shape[2:4] if planar else images.shape[1:3])
     wp = make_warp_params(params, src_hw, dst_hw, letterbox=letterbox)
@@ -627,7 +654,13 @@ def augment_batch_pallas(images, labels, params, dst_hw: Tuple[int, int],
         if not normalized:
             out = out * 255.0
     else:
-        warped = warp_images(x, wp, out_size=dst_hw[0], interpret=interpret)
+        # carry_u8: round the warp output to uint8 (the reference's PIL
+        # chain is uint8 between the rotate and the HSV jitter,
+        # dataloader.py:111-137) — halves the warp->photometric HBM
+        # round-trip (1.6 GB at b1024 512^2)
+        warped = warp_images(x, wp, out_size=dst_hw[0], interpret=interpret,
+                             out_dtype=jnp.uint8 if carry_u8
+                             else jnp.bfloat16)
         bcap = blur_capacity
         if bcap is None or bcap <= 0 or bcap >= warped.shape[0]:
             mode = "all" if (bcap is not None and

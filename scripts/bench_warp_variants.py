@@ -3,7 +3,7 @@
 Usage: python scripts/bench_warp_variants.py [variant ...]
 Variants: base, two_shear, b2048, int8, int8_b2048, int8_radix4,
 pallas, pallas_fused,
-pallas_planar,
+pallas_planar, pallas_u8,
 pallas256, pallas1280, pallas1536, pallas_scan2, pallas_scan3,
 pallas_bsplit, pallas_bsplit_scan2,
 pallas_bsplit_scan3, rot_old, rot_packed, rot_two, blur_conv, blur_einsum
@@ -68,7 +68,7 @@ def full_pipeline(batch, size, two_shear, int8_resample=False,
 
 
 def full_pipeline_pallas(batch, size, fused=False, blur_dtype=None,
-                         planar=False):
+                         planar=False, carry_u8=False):
     # same sampling protocol as ``full_pipeline`` (capacity prefix/suffix),
     # but through the Mosaic kernels (ops/pallas_warp.py) — re-opened by
     # scripts/probe_pallas.py showing in-kernel dot at XLA parity (round 1
@@ -88,7 +88,8 @@ def full_pipeline_pallas(batch, size, fused=False, blur_dtype=None,
         params = A.sample_augment_params(key, batch, rotate_prefix=cap,
                                          blur_suffix=cap)
         return PW.augment_batch_pallas(images, labels, params, (size, size),
-                                       fused=fused, planar=planar, **kw)
+                                       fused=fused, planar=planar,
+                                       carry_u8=carry_u8, **kw)
 
     keys = jax.random.split(jax.random.PRNGKey(0), 256)
     dt, _ = timed(pipe, lambda i: (images, labels, keys[i % 256]))
@@ -206,6 +207,8 @@ def main():
             ips = full_pipeline_pallas(1024, 512, fused=True)
         elif v == "pallas_planar":
             ips = full_pipeline_pallas(1024, 512, fused=False, planar=True)
+        elif v == "pallas_u8":
+            ips = full_pipeline_pallas(1024, 512, carry_u8=True)
         elif v == "pallas256":
             ips = full_pipeline_pallas(256, 512, fused=False)
         elif v == "pallas1280":

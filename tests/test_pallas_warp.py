@@ -218,3 +218,53 @@ def test_vmem_budget_env_scale(monkeypatch):
     assert PW._vmem_budget(32) == 64 * 2**20
     monkeypatch.setenv("CERVICAL_PALLAS_VMEM_SCALE", "1.5")
     assert PW._vmem_budget(32) == 48 * 2**20
+
+
+def test_warp_images_u8_output_is_rounded_bf16():
+    """out_dtype=uint8 must equal clip(round(.), 0, 255) of the bf16
+    output — the rounding happens at the store, nothing else changes."""
+    images, _ = _data(17)
+    params = A.sample_augment_params(jax.random.PRNGKey(21), B,
+                                     rotate_prefix=B // 2)
+    wp = PW.make_warp_params(params, (S, S), (S, S))
+    planar = jnp.transpose(images, (0, 3, 1, 2))
+    bf = PW.warp_images(planar, wp, out_size=S, interpret=True)
+    u8 = PW.warp_images(planar, wp, out_size=S, interpret=True,
+                        out_dtype=jnp.uint8)
+    expect = np.clip(np.round(np.asarray(bf, np.float32)), 0, 255) \
+        .astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(u8), expect)
+
+
+def test_photometric_u8_input_matches_rounded_float():
+    """The photometric kernel on uint8 planes must equal the float path
+    fed the same integer values."""
+    images, _ = _data(18)
+    planar_u8 = jnp.transpose(images, (0, 3, 1, 2))
+    planar_f = planar_u8.astype(jnp.float32)
+    gains = jnp.asarray(np.random.default_rng(19).uniform(
+        0.8, 1.2, (B, 3)).astype(np.float32))
+    blur = jnp.array([True, False, True, False])
+    out_u8 = PW.photometric(planar_u8, gains, blur, interpret=True,
+                            out_dtype=jnp.float32)
+    out_f = PW.photometric(planar_f, gains, blur, interpret=True,
+                           out_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out_u8), np.asarray(out_f))
+
+
+def test_carry_u8_end_to_end():
+    """carry_u8=True: labels identical, images within one uint8 rounding
+    step of the bf16-carry pipeline away from hue-sector boundaries (the
+    rounding can flip argmax(R,G,B) for near-equal channels)."""
+    images, labels = _data(19)
+    params = A.sample_augment_params(jax.random.PRNGKey(23), B,
+                                     rotate_prefix=B // 2, blur_suffix=B // 2)
+    fi, fl = PW.augment_batch_pallas(images, labels, params, (S, S),
+                                     interpret=True, normalized=False)
+    ui, ul = PW.augment_batch_pallas(images, labels, params, (S, S),
+                                     interpret=True, normalized=False,
+                                     carry_u8=True)
+    np.testing.assert_array_equal(np.asarray(fl), np.asarray(ul))
+    d = np.abs(np.asarray(ui, np.float32) - np.asarray(fi, np.float32))
+    assert np.median(d) <= 1.0
+    assert (d > 16.0).mean() < 0.02  # rare hue-sector flips only
