@@ -68,6 +68,8 @@ def head_weights(cfg: FusionTrainConfig) -> Dict[str, float]:
 
 
 class FusionTrainer:
+    _stop_requested = False  # set per-run by cross_validate/request_stop
+
     def __init__(self, cfg: FusionTrainConfig, rng=None, mesh=None):
         """``mesh``: optional ('data', 'model') jax mesh.  When given,
         :meth:`init_state` places the params (and therefore the Adam
@@ -353,7 +355,8 @@ class FusionTrainer:
 
     # -- cross-validation driver ------------------------------------------
     def cross_validate(self, ds, epochs: Optional[int] = None, log=print,
-                       save_dir: Optional[str] = None, resume: bool = True):
+                       save_dir: Optional[str] = None, resume: bool = True,
+                       vmap_folds: bool = False):
         """Seed-repeat x stratified-K-fold CV with inner train/val split and
         best-by-val-accuracy selection (main, my_train(full).py:417-623).
 
@@ -373,6 +376,17 @@ class FusionTrainer:
         stream is keyed by ``fold_in(rng, seed*1000 + fold)``, so the
         resumed remainder is bitwise-identical to an uninterrupted run
         (loaded folds carry JSON lists where fresh folds carry ndarrays).
+
+        ``vmap_folds``: train ALL folds of a seed SIMULTANEOUSLY — params,
+        Adam moments and best-by-val snapshots stacked on a leading fold
+        axis, the whole (epochs x batches) loop one ``lax.scan`` program
+        with the per-fold train step under ``jax.vmap`` (the TPU-native
+        formulation: K tiny sequential models become one K-wide batched
+        model that actually fills the MXU).  Trajectories reproduce the
+        sequential path's fold-keyed PRNG streams, so per-fold results
+        match the default path (ragged folds ride weight-0 padding).
+        Stop/resume granularity is per SEED here; incompatible with a TP
+        ``mesh``.
         """
         import signal
         import threading
@@ -391,6 +405,9 @@ class FusionTrainer:
             for sig in (signal.SIGTERM, signal.SIGINT):
                 prev_handlers[sig] = signal.signal(sig, _request_stop)
         try:
+            if vmap_folds:
+                return self._cross_validate_vmapped(ds, epochs, labels, log,
+                                                    save_dir, resume)
             return self._cross_validate(ds, epochs, labels, log, save_dir,
                                         resume)
         finally:
@@ -524,6 +541,325 @@ class FusionTrainer:
             # classification-side analog of the seg show_results dump
             # (the reference prints this block to stdout only,
             # my_train(full).py:386-408)
+            if results:
+                from cervical_tpu.metrics import (report_from_confusion,
+                                                  write_classification_report)
+                total_cm = np.sum([np.asarray(r["test"]["confusion"])
+                                   for r in results], axis=0)
+                write_classification_report(
+                    report_from_confusion(total_cm),
+                    os.path.join(save_dir, "classification_out"))
+        return {"folds": results, "mean_test_acc": mean_acc,
+                "stopped_early": self._stop_requested}
+
+    # -- vmapped-folds CV engine -------------------------------------------
+    def _prep_fold_streams(self, epochs: int, n: int, bs: int, t: int):
+        """Jitted reproduction of one fold's host-side PRNG consumption.
+
+        Replays, inside one ``lax.scan`` program, exactly the key splits the
+        sequential path performs per epoch (``train_epoch``: shuffle key ->
+        permutation(n); then (mk, dk) -> modal masks and per-batch dropout
+        keys), so the vmapped engine sees the SAME shuffles/masks/dropout
+        streams as ``_cross_validate`` and per-fold trajectories match.
+        Compiled once per distinct fold train-size ``n``.
+        """
+        nb = (n + bs - 1) // bs
+        cache = getattr(self, "_prep_fns", None)
+        if cache is None:
+            cache = self._prep_fns = {}
+        key = (epochs, n, bs, t)
+        if key in cache:
+            return cache[key]
+
+        def prep(rng_fold):
+            rng, init_key = jax.random.split(rng_fold)
+
+            def body(rng, _):
+                rng, shuffle_key = jax.random.split(rng)
+                order = jax.random.permutation(shuffle_key, n)
+                rng, mk, dk = jax.random.split(rng, 3)
+                if t > 1:
+                    masks = generate_modal_masks(mk, nb * bs, t)
+                else:
+                    masks = jnp.zeros((nb * bs, 1), bool)
+                rngs_nb = jax.random.split(dk, nb)
+                return rng, (order, masks, rngs_nb)
+
+            _, (orders, masks, rngs) = jax.lax.scan(body, rng, None,
+                                                    length=epochs)
+            return init_key, orders, masks, rngs
+
+        cache[key] = jax.jit(prep)
+        return cache[key]
+
+    def _cv_seed_program(self, per_epoch_test: bool):
+        """One-dispatch CV engine for ONE seed: ``scan`` over epochs of
+        (``scan`` over micro-batches of the fold-vmapped train step, then
+        fold-vmapped val/test eval + on-device best-by-val tracking)."""
+        cache = getattr(self, "_cv_programs", None)
+        if cache is None:
+            cache = self._cv_programs = {}
+        if per_epoch_test in cache:
+            return cache[per_epoch_test]
+        from cervical_tpu.data.masks import imputation_masks
+        step = self.train_step_fn()
+        estep = self.eval_step_fn()
+        # state/batch/do_step per fold; lr shared
+        vstep = jax.vmap(step, in_axes=(0, 0, 0, 0, None, 0, 0, 0))
+        vestep = jax.vmap(estep)
+
+        @jax.jit
+        def run(state, best, feats_all, labels_all, idx, w, msk, rngs, lrs,
+                do_steps, ecnts, vidx, vw, vpres, tidx, tw, tpres):
+            F = vidx.shape[0]
+
+            def eval_on(params, eidx, ew, epres):
+                feats = {m: v[eidx] for m, v in feats_all.items()}
+                lbl = labels_all[eidx]
+                logits, preds = vestep(params, feats, epres,
+                                       imputation_masks(epres))
+                ce = jax.vmap(losses.softmax_cross_entropy)(
+                    logits["all"], lbl, ew)
+                acc = (jnp.sum((preds["all"] == lbl) * ew, -1)
+                       / jnp.maximum(jnp.sum(ew, -1), 1.0))
+                return ce, acc
+
+            def epoch_body(carry, xs):
+                state, best = carry
+                idx_e, w_e, m_e, r_e, lr, do, ecnt = xs
+
+                def batch_body(st, bxs):
+                    bi, bw, bm, br = bxs  # (F,bs) (F,bs) (F,bs,t) (F,key)
+                    feats = {m: v[bi] for m, v in feats_all.items()}
+                    lbl = labels_all[bi]
+                    # folds with fewer batches ride all-zero-weight padding
+                    # batches: gate the optimizer exactly like the epoch-0
+                    # no-step quirk so params AND Adam moments stay put
+                    valid = jnp.any(bw > 0, axis=-1)
+                    st, m = vstep(st, feats, lbl, bm, lr, do & valid, br, bw)
+                    corr = jnp.sum((m["preds"]["all"] == lbl) * bw, -1)
+                    return st, (m["ce_all"], corr)
+
+                state, (ce_b, corr_b) = jax.lax.scan(
+                    batch_body, state, (idx_e, w_e, m_e, r_e))
+                tr_ce = jnp.sum(ce_b, 0)
+                tr_corr = jnp.sum(corr_b, 0)
+                vce, vacc = eval_on(state["params"], vidx, vw, vpres)
+                if per_epoch_test:
+                    tce, tacc = eval_on(state["params"], tidx, tw, tpres)
+                else:
+                    tce, tacc = vce * 0.0, vacc * 0.0
+                better = vacc > best["acc"]
+
+                def upd(new, old):
+                    b = better.reshape((F,) + (1,) * (new.ndim - 1))
+                    return jnp.where(b, new, old)
+
+                best = {"acc": jnp.where(better, vacc, best["acc"]),
+                        "epoch": jnp.where(better, ecnt, best["epoch"]),
+                        "params": jax.tree_util.tree_map(
+                            upd, state["params"], best["params"])}
+                return (state, best), (tr_ce, tr_corr, vce, vacc, tce, tacc)
+
+            (state, best), hist = jax.lax.scan(
+                epoch_body, (state, best),
+                (idx, w, msk, rngs, lrs, do_steps, ecnts))
+            return state, best, hist
+
+        cache[per_epoch_test] = run
+        return cache[per_epoch_test]
+
+    def _cross_validate_vmapped(self, ds, epochs, labels, log, save_dir,
+                                resume=True, epoch_chunk=20):
+        """All folds of a seed trained simultaneously (see cross_validate).
+
+        Resume/stop granularity is the SEED: a seed whose folds are all in
+        ``cv_progress.json`` is skipped wholesale; a partially-recorded
+        seed is recomputed (fold-keyed PRNG streams make the recomputed
+        folds identical to the recorded ones).
+        """
+        import json
+        import os
+
+        cfg = self.cfg
+        if self.mesh is not None:
+            raise ValueError("vmap_folds is incompatible with a TP mesh — "
+                             "fold-stacked params cannot also be "
+                             "tensor-sharded")
+        ds = dict(ds)
+        ds["feats"] = {m: jnp.asarray(v) for m, v in ds["feats"].items()}
+        labels_dev = jnp.asarray(ds["labels"])
+        present_np = np.asarray(ds["present"])
+        t = len(cfg.modalities)
+        bs = cfg.batch_size
+        E = epochs
+        progress_path = (os.path.join(save_dir, "cv_progress.json")
+                         if save_dir else None)
+        done = {}
+        if resume and progress_path and os.path.exists(progress_path):
+            with open(progress_path) as f:
+                done = {(r["seed"], r["fold"]): r
+                        for r in json.load(f)["folds"]}
+            if done:
+                log(f"resuming: {len(done)} completed folds loaded from "
+                    f"{progress_path}")
+        base_rng = self.rng
+        schedule = fusion_step_decay(cfg.lr, cfg.lr_gamma, cfg.lr_step)
+        lrs = jnp.asarray([schedule(e) for e in range(E)], jnp.float32)
+        do_steps = jnp.asarray(
+            [not (cfg.epoch0_no_step and e == 0) for e in range(E)])
+        feats0 = {m: v[:1] for m, v in ds["feats"].items()}
+        program = self._cv_seed_program(bool(cfg.per_epoch_test))
+        results = []
+        for seed in range(cfg.start_seed, cfg.start_seed + cfg.repeat_num):
+            folds = list(split_lib.stratified_kfold(labels, cfg.kfold,
+                                                    seed=seed))
+            F = len(folds)
+            if all((seed, f) in done for f in range(F)):
+                results.extend(done[(seed, f)] for f in range(F))
+                continue
+            if self._stop_requested:
+                break
+            tr_list, val_list, test_list = [], [], []
+            for train_idx, test_idx in folds:
+                tr, va = split_lib.train_test_split(
+                    train_idx, cfg.inner_test_size, seed=seed,
+                    stratify=labels[train_idx])
+                tr_list.append(tr)
+                val_list.append(va)
+                test_list.append(np.asarray(test_idx))
+            n_fs = [len(x) for x in tr_list]
+            nb_fs = [(n + bs - 1) // bs for n in n_fs]
+            nb_max = max(nb_fs)
+            init_keys = []
+            per_fold = []
+            for fold, tr in enumerate(tr_list):
+                n, nb = n_fs[fold], nb_fs[fold]
+                prep = self._prep_fold_streams(E, n, bs, t)
+                rng_f = jax.random.fold_in(base_rng, seed * 1000 + fold)
+                ik, orders, masks, rngs = prep(rng_f)
+                init_keys.append(ik)
+                orders = np.asarray(orders)                     # (E, n)
+                masks = np.asarray(masks).reshape(E, nb, bs, t)
+                rngs = np.asarray(rngs).reshape(E, nb, -1)      # key data
+                pad = nb * bs - n
+                # identical padding to train_epoch: local row 0, weight 0
+                order_p = np.concatenate(
+                    [orders, np.zeros((E, pad), orders.dtype)], 1)
+                w_p = np.concatenate(
+                    [np.ones((E, n), np.float32),
+                     np.zeros((E, pad), np.float32)], 1)
+                gidx = tr[order_p].reshape(E, nb, bs).astype(np.int32)
+                w_p = w_p.reshape(E, nb, bs)
+
+                def padb(a):
+                    if nb == nb_max:
+                        return a
+                    fillr = np.zeros((E, nb_max - nb) + a.shape[2:], a.dtype)
+                    return np.concatenate([a, fillr], axis=1)
+
+                per_fold.append((padb(gidx), padb(w_p), padb(masks),
+                                 padb(rngs)))
+            # (E, nb, F, ...) — scan over epochs, inner scan over batches
+            idx = np.stack([p[0] for p in per_fold], axis=2)
+            w = np.stack([p[1] for p in per_fold], axis=2)
+            msk = np.stack([p[2] for p in per_fold], axis=2)
+            rngs_arr = np.stack([p[3] for p in per_fold], axis=2)
+
+            def pad_eval(sets):
+                vmax = max(len(x) for x in sets)
+                ei = np.stack([np.concatenate(
+                    [x, np.full(vmax - len(x), x[0], x.dtype)]) for x in sets]
+                ).astype(np.int32)
+                ew = np.stack([np.concatenate(
+                    [np.ones(len(x), np.float32),
+                     np.zeros(vmax - len(x), np.float32)]) for x in sets])
+                return ei, ew, present_np[ei]
+
+            vidx, vw, vpres = pad_eval(val_list)
+            tidx, tw, tpres = pad_eval(test_list)
+
+            state = jax.vmap(lambda k: self.init_state(feats0, k))(
+                jnp.stack(init_keys))
+            best = {"acc": jnp.full((F,), -1.0, jnp.float32),
+                    "epoch": jnp.full((F,), -1, jnp.int32),
+                    "params": state["params"]}
+            # bounded dispatches: one program execution per epoch CHUNK —
+            # a whole 180-epoch seed as ONE execution ran minutes and
+            # tripped the tunnel's watchdog ("TPU worker process crashed");
+            # chunking keeps executions short while compiling the chunk
+            # body once (the ragged tail chunk, if any, compiles once more)
+            eidx, ew_d = jnp.asarray(vidx), jnp.asarray(vw)
+            epres = jnp.asarray(vpres)
+            xidx, xw, xpres = (jnp.asarray(tidx), jnp.asarray(tw),
+                               jnp.asarray(tpres))
+            idx, w = jnp.asarray(idx), jnp.asarray(w)
+            msk, rngs_arr = jnp.asarray(msk), jnp.asarray(rngs_arr)
+            hists = []
+            for c0 in range(0, E, epoch_chunk):
+                c1 = min(c0 + epoch_chunk, E)
+                ecnts = jnp.arange(c0, c1, dtype=jnp.int32)
+                state, best, hist = program(
+                    state, best, ds["feats"], labels_dev, idx[c0:c1],
+                    w[c0:c1], msk[c0:c1], rngs_arr[c0:c1], lrs[c0:c1],
+                    do_steps[c0:c1], ecnts, eidx, ew_d, epres,
+                    xidx, xw, xpres)
+                hists.append(hist)
+            tr_ce, tr_corr, vce, vacc, tce, tacc = (
+                np.concatenate([np.asarray(h[i]) for h in hists])
+                for i in range(6))
+            best_epoch = np.asarray(best["epoch"])
+            best_acc = np.asarray(best["acc"])
+            best_params = jax.device_get(best["params"])
+            fold_results = []
+            for fold in range(F):
+                bp = jax.tree_util.tree_map(lambda a: a[fold], best_params)
+                final = self.predict(bp, subset(ds, test_list[fold]))
+                if save_dir:
+                    from cervical_tpu.train.callbacks import FusionHistory
+                    from cervical_tpu.inference.fusion_predictor import (
+                        save_params_npz)
+                    history = FusionHistory(save_dir, seed, fold)
+                    for e in range(E):
+                        history.append(e, tr_ce[e, fold] / nb_fs[fold],
+                                       vce[e, fold],
+                                       tr_corr[e, fold] / n_fs[fold],
+                                       vacc[e, fold])
+                    history.plot()
+                    save_params_npz(
+                        os.path.join(save_dir,
+                                     f"best_seed{seed}_fold{fold}.npz"), bp)
+                epoch_test = None
+                if cfg.per_epoch_test:
+                    epoch_test = [{"epoch": e, "loss": float(tce[e, fold]),
+                                   "acc_all": float(tacc[e, fold])}
+                                  for e in range(E)]
+                fold_results.append({"seed": seed, "fold": fold,
+                                     "best_epoch": int(best_epoch[fold]),
+                                     "val_acc": float(best_acc[fold]),
+                                     "test": final,
+                                     "epoch_test": epoch_test})
+                log(f"seed {seed} fold {fold}: test acc "
+                    f"{final['acc_all']:.3f}")
+            results.extend(fold_results)
+            if progress_path:
+                tmp = progress_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(_to_jsonable({"folds": results}), f)
+                os.replace(tmp, progress_path)
+            if self._stop_requested:
+                log(f"stopped early after seed {seed} "
+                    f"({len(results)} folds completed)")
+                break
+        mean_acc = float(np.mean([r["test"]["acc_all"] for r in results]))
+        if save_dir:
+            with open(os.path.join(save_dir, "cv_results.json"), "w") as f:
+                json.dump(_to_jsonable(
+                    {"folds": results,
+                     "mean_test_acc": mean_acc,
+                     "stopped_early": self._stop_requested,
+                     "modalities": list(self.cfg.modalities)}),
+                          f, indent=1)
             if results:
                 from cervical_tpu.metrics import (report_from_confusion,
                                                   write_classification_report)

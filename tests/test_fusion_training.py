@@ -292,3 +292,77 @@ def test_cross_validate_fold_resume_exact(tmp_path):
                                       np.asarray(b["test"]["confusion"]))
     np.testing.assert_allclose(full["mean_test_acc"],
                                resumed["mean_test_acc"])
+
+
+def test_cross_validate_vmap_folds_matches_sequential(tmp_path):
+    """vmap_folds trains all folds of a seed simultaneously (fold-stacked
+    params under jax.vmap, one scan program per seed) while reproducing
+    the sequential path's fold-keyed PRNG streams — per-fold results must
+    match the default engine."""
+    cfg = FusionTrainConfig(in_features=32, hidden=64, epochs=3, kfold=3,
+                            repeat_num=1, batch_size=8)
+    ds = make_synthetic_fusion(num_patients=45, feature_dim=32, seed=5)
+
+    seq = FusionTrainer(cfg).cross_validate(
+        ds, log=lambda *a: None, save_dir=str(tmp_path / "seq"))
+    vm = FusionTrainer(cfg).cross_validate(
+        ds, log=lambda *a: None, save_dir=str(tmp_path / "vm"),
+        vmap_folds=True)
+
+    assert len(seq["folds"]) == len(vm["folds"]) == 3
+    for a, b in zip(seq["folds"], vm["folds"]):
+        assert (a["seed"], a["fold"]) == (b["seed"], b["fold"])
+        assert a["best_epoch"] == b["best_epoch"]
+        np.testing.assert_allclose(a["val_acc"], b["val_acc"], atol=1e-5)
+        np.testing.assert_allclose(a["test"]["acc_all"],
+                                   b["test"]["acc_all"], atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(a["test"]["confusion"]),
+                                      np.asarray(b["test"]["confusion"]))
+        for ea, eb in zip(a["epoch_test"], b["epoch_test"]):
+            np.testing.assert_allclose(ea["acc_all"], eb["acc_all"],
+                                       atol=1e-6)
+            np.testing.assert_allclose(ea["loss"], eb["loss"], atol=1e-4)
+    np.testing.assert_allclose(seq["mean_test_acc"], vm["mean_test_acc"],
+                               atol=1e-6)
+    # same artifact surface as the sequential engine
+    assert (tmp_path / "vm" / "cv_results.json").exists()
+    assert (tmp_path / "vm" / "cv_progress.json").exists()
+    assert (tmp_path / "vm" / "best_seed0_fold0.npz").exists()
+
+    # chunked dispatch (epoch_chunk=2 over 3 epochs: full + ragged chunk)
+    # must be invisible to the results
+    tr = FusionTrainer(cfg)
+    ck = tr._cross_validate_vmapped(ds, cfg.epochs,
+                                    np.asarray(ds["labels"]),
+                                    lambda *a: None, None, epoch_chunk=2)
+    for a, b in zip(vm["folds"], ck["folds"]):
+        assert a["best_epoch"] == b["best_epoch"]
+        np.testing.assert_allclose(a["test"]["acc_all"],
+                                   b["test"]["acc_all"], atol=1e-6)
+
+
+def test_cross_validate_vmap_folds_seed_resume(tmp_path):
+    """vmapped CV resumes at seed granularity: a progress file covering
+    seed 0 makes a rerun skip it and append seed 1 identically."""
+    cfg = FusionTrainConfig(in_features=32, hidden=64, epochs=2, kfold=2,
+                            repeat_num=2, batch_size=8)
+    ds = make_synthetic_fusion(num_patients=40, feature_dim=32, seed=7)
+
+    full = FusionTrainer(cfg).cross_validate(
+        ds, log=lambda *a: None, save_dir=str(tmp_path / "full"),
+        vmap_folds=True)
+    assert len(full["folds"]) == 4
+
+    part_dir = tmp_path / "part"
+    one_seed = FusionTrainConfig(in_features=32, hidden=64, epochs=2,
+                                 kfold=2, repeat_num=1, batch_size=8)
+    FusionTrainer(one_seed).cross_validate(
+        ds, log=lambda *a: None, save_dir=str(part_dir), vmap_folds=True)
+    logs = []
+    resumed = FusionTrainer(cfg).cross_validate(
+        ds, log=logs.append, save_dir=str(part_dir), vmap_folds=True)
+    assert any("resuming" in m for m in logs)
+    assert len(resumed["folds"]) == 4
+    for a, b in zip(full["folds"], resumed["folds"]):
+        np.testing.assert_allclose(a["test"]["acc_all"],
+                                   b["test"]["acc_all"], atol=1e-6)
