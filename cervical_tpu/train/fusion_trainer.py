@@ -377,16 +377,18 @@ class FusionTrainer:
         resumed remainder is bitwise-identical to an uninterrupted run
         (loaded folds carry JSON lists where fresh folds carry ndarrays).
 
-        ``vmap_folds``: train ALL folds of a seed SIMULTANEOUSLY — params,
+        ``vmap_folds``: train (seed, fold) pairs SIMULTANEOUSLY — params,
         Adam moments and best-by-val snapshots stacked on a leading fold
-        axis, the whole (epochs x batches) loop one ``lax.scan`` program
-        with the per-fold train step under ``jax.vmap`` (the TPU-native
-        formulation: K tiny sequential models become one K-wide batched
-        model that actually fills the MXU).  Trajectories reproduce the
+        axis, the (epochs x batches) loop run as chunked ``lax.scan``
+        programs with the per-fold train step under ``jax.vmap`` (the
+        TPU-native formulation: K tiny sequential models become one
+        K-wide batched model that actually fills the MXU; pairs from
+        different seeds pack into one group).  Trajectories reproduce the
         sequential path's fold-keyed PRNG streams, so per-fold results
-        match the default path (ragged folds ride weight-0 padding).
-        Stop/resume granularity is per SEED here; incompatible with a TP
-        ``mesh``.
+        match the default path (ragged folds ride weight-0 padding) and
+        fold-level resume still applies; stop granularity is the group.
+        Incompatible with a TP ``mesh``.  Measured 5.5x on the
+        reference-scale protocol (docs/PERF.md).
         """
         import signal
         import threading
@@ -670,13 +672,15 @@ class FusionTrainer:
         return cache[per_epoch_test]
 
     def _cross_validate_vmapped(self, ds, epochs, labels, log, save_dir,
-                                resume=True, epoch_chunk=20):
-        """All folds of a seed trained simultaneously (see cross_validate).
+                                resume=True, epoch_chunk=20, group=25):
+        """(seed, fold) pairs trained simultaneously (see cross_validate).
 
-        Resume/stop granularity is the SEED: a seed whose folds are all in
-        ``cv_progress.json`` is skipped wholesale; a partially-recorded
-        seed is recomputed (fold-keyed PRNG streams make the recomputed
-        folds identical to the recorded ones).
+        Pairs already in ``cv_progress.json`` are skipped individually
+        (fold-level resume, like the sequential engine); the remaining
+        pairs are packed into groups of at most ``group`` and each group
+        trains as fold-stacked vmapped programs.  ``group`` bounds device
+        memory (4 param-sized f32 copies per pair).  Stop granularity is
+        the group.
         """
         import json
         import os
@@ -710,31 +714,39 @@ class FusionTrainer:
             [not (cfg.epoch0_no_step and e == 0) for e in range(E)])
         feats0 = {m: v[:1] for m, v in ds["feats"].items()}
         program = self._cv_seed_program(bool(cfg.per_epoch_test))
-        results = []
+        # flat (seed, fold) pair list across ALL seeds: pairs are fully
+        # independent (pair-keyed PRNG streams), so the engine is free to
+        # pack up to ``group`` of them per device program regardless of
+        # seed boundaries — wider fold batches fill the MXU better and
+        # resume granularity stays the individual fold, like the
+        # sequential engine.  ``group`` bounds device memory
+        # (4 param-sized f32 copies per pair: params + Adam m/v + best).
+        pairs = []
         for seed in range(cfg.start_seed, cfg.start_seed + cfg.repeat_num):
-            folds = list(split_lib.stratified_kfold(labels, cfg.kfold,
-                                                    seed=seed))
-            F = len(folds)
-            if all((seed, f) in done for f in range(F)):
-                results.extend(done[(seed, f)] for f in range(F))
-                continue
-            if self._stop_requested:
-                break
-            tr_list, val_list, test_list = [], [], []
-            for train_idx, test_idx in folds:
+            for fold, (train_idx, test_idx) in enumerate(
+                    split_lib.stratified_kfold(labels, cfg.kfold,
+                                               seed=seed)):
+                if (seed, fold) in done:
+                    continue
                 tr, va = split_lib.train_test_split(
                     train_idx, cfg.inner_test_size, seed=seed,
                     stratify=labels[train_idx])
-                tr_list.append(tr)
-                val_list.append(va)
-                test_list.append(np.asarray(test_idx))
-            n_fs = [len(x) for x in tr_list]
+                pairs.append((seed, fold, tr, va, np.asarray(test_idx)))
+        results = list(done.values())
+        for g0 in range(0, len(pairs), group):
+            if self._stop_requested:
+                break
+            gpairs = pairs[g0:g0 + group]
+            F = len(gpairs)
+            val_list = [p[3] for p in gpairs]
+            test_list = [p[4] for p in gpairs]
+            n_fs = [len(p[2]) for p in gpairs]
             nb_fs = [(n + bs - 1) // bs for n in n_fs]
             nb_max = max(nb_fs)
             init_keys = []
             per_fold = []
-            for fold, tr in enumerate(tr_list):
-                n, nb = n_fs[fold], nb_fs[fold]
+            for (seed, fold, tr, _va, _te), n, nb in zip(gpairs, n_fs,
+                                                         nb_fs):
                 prep = self._prep_fold_streams(E, n, bs, t)
                 rng_f = jax.random.fold_in(base_rng, seed * 1000 + fold)
                 ik, orders, masks, rngs = prep(rng_f)
@@ -812,31 +824,31 @@ class FusionTrainer:
             best_acc = np.asarray(best["acc"])
             best_params = jax.device_get(best["params"])
             fold_results = []
-            for fold in range(F):
-                bp = jax.tree_util.tree_map(lambda a: a[fold], best_params)
-                final = self.predict(bp, subset(ds, test_list[fold]))
+            for i, (seed, fold, _tr, _va, test_idx) in enumerate(gpairs):
+                bp = jax.tree_util.tree_map(lambda a: a[i], best_params)
+                final = self.predict(bp, subset(ds, test_idx))
                 if save_dir:
                     from cervical_tpu.train.callbacks import FusionHistory
                     from cervical_tpu.inference.fusion_predictor import (
                         save_params_npz)
                     history = FusionHistory(save_dir, seed, fold)
                     for e in range(E):
-                        history.append(e, tr_ce[e, fold] / nb_fs[fold],
-                                       vce[e, fold],
-                                       tr_corr[e, fold] / n_fs[fold],
-                                       vacc[e, fold])
+                        history.append(e, tr_ce[e, i] / nb_fs[i],
+                                       vce[e, i],
+                                       tr_corr[e, i] / n_fs[i],
+                                       vacc[e, i])
                     history.plot()
                     save_params_npz(
                         os.path.join(save_dir,
                                      f"best_seed{seed}_fold{fold}.npz"), bp)
                 epoch_test = None
                 if cfg.per_epoch_test:
-                    epoch_test = [{"epoch": e, "loss": float(tce[e, fold]),
-                                   "acc_all": float(tacc[e, fold])}
+                    epoch_test = [{"epoch": e, "loss": float(tce[e, i]),
+                                   "acc_all": float(tacc[e, i])}
                                   for e in range(E)]
                 fold_results.append({"seed": seed, "fold": fold,
-                                     "best_epoch": int(best_epoch[fold]),
-                                     "val_acc": float(best_acc[fold]),
+                                     "best_epoch": int(best_epoch[i]),
+                                     "val_acc": float(best_acc[i]),
                                      "test": final,
                                      "epoch_test": epoch_test})
                 log(f"seed {seed} fold {fold}: test acc "
@@ -848,9 +860,9 @@ class FusionTrainer:
                     json.dump(_to_jsonable({"folds": results}), f)
                 os.replace(tmp, progress_path)
             if self._stop_requested:
-                log(f"stopped early after seed {seed} "
-                    f"({len(results)} folds completed)")
+                log(f"stopped early after {len(results)} folds")
                 break
+        results.sort(key=lambda r: (r["seed"], r["fold"]))
         mean_acc = float(np.mean([r["test"]["acc_all"] for r in results]))
         if save_dir:
             with open(os.path.join(save_dir, "cv_results.json"), "w") as f:

@@ -341,9 +341,13 @@ def test_cross_validate_vmap_folds_matches_sequential(tmp_path):
                                    b["test"]["acc_all"], atol=1e-6)
 
 
-def test_cross_validate_vmap_folds_seed_resume(tmp_path):
-    """vmapped CV resumes at seed granularity: a progress file covering
-    seed 0 makes a rerun skip it and append seed 1 identically."""
+def test_cross_validate_vmap_folds_fold_resume(tmp_path):
+    """vmapped CV resumes at FOLD granularity like the sequential engine:
+    a progress file covering one pair makes a rerun skip it, pack the
+    remaining pairs (across seeds) into one group, and reproduce the
+    uninterrupted results (pair-keyed PRNG streams)."""
+    import json
+
     cfg = FusionTrainConfig(in_features=32, hidden=64, epochs=2, kfold=2,
                             repeat_num=2, batch_size=8)
     ds = make_synthetic_fusion(num_patients=40, feature_dim=32, seed=7)
@@ -352,17 +356,20 @@ def test_cross_validate_vmap_folds_seed_resume(tmp_path):
         ds, log=lambda *a: None, save_dir=str(tmp_path / "full"),
         vmap_folds=True)
     assert len(full["folds"]) == 4
+    # seeds pack together: 4 pairs over 2 seeds trained as ONE group
 
     part_dir = tmp_path / "part"
-    one_seed = FusionTrainConfig(in_features=32, hidden=64, epochs=2,
-                                 kfold=2, repeat_num=1, batch_size=8)
-    FusionTrainer(one_seed).cross_validate(
-        ds, log=lambda *a: None, save_dir=str(part_dir), vmap_folds=True)
+    part_dir.mkdir()
+    with open(tmp_path / "full" / "cv_progress.json") as f:
+        prog = json.load(f)
+    with open(part_dir / "cv_progress.json", "w") as f:
+        json.dump({"folds": prog["folds"][:1]}, f)
     logs = []
     resumed = FusionTrainer(cfg).cross_validate(
         ds, log=logs.append, save_dir=str(part_dir), vmap_folds=True)
     assert any("resuming" in m for m in logs)
     assert len(resumed["folds"]) == 4
     for a, b in zip(full["folds"], resumed["folds"]):
+        assert (a["seed"], a["fold"]) == (b["seed"], b["fold"])
         np.testing.assert_allclose(a["test"]["acc_all"],
                                    b["test"]["acc_all"], atol=1e-6)
