@@ -356,7 +356,7 @@ class FusionTrainer:
     # -- cross-validation driver ------------------------------------------
     def cross_validate(self, ds, epochs: Optional[int] = None, log=print,
                        save_dir: Optional[str] = None, resume: bool = True,
-                       vmap_folds: bool = False):
+                       vmap_folds: bool = False, vmap_group: int = 25):
         """Seed-repeat x stratified-K-fold CV with inner train/val split and
         best-by-val-accuracy selection (main, my_train(full).py:417-623).
 
@@ -387,8 +387,12 @@ class FusionTrainer:
         sequential path's fold-keyed PRNG streams, so per-fold results
         match the default path (ragged folds ride weight-0 padding) and
         fold-level resume still applies; stop granularity is the group.
-        Incompatible with a TP ``mesh``.  Measured 5.5x on the
-        reference-scale protocol (docs/PERF.md).
+        ``vmap_group`` bounds the pairs per device program (device memory:
+        ~4 param-sized f32 copies per pair — params + Adam m/v + best —
+        so the default 25 holds ~5 GB at the reference's 12.5M-param
+        4-modal config).  Incompatible with a TP ``mesh``.  Measured 5.5x
+        on the reference-scale protocol at seed-width groups; cross-seed
+        packing widens the fold batch further (docs/PERF.md).
         """
         import signal
         import threading
@@ -409,7 +413,8 @@ class FusionTrainer:
         try:
             if vmap_folds:
                 return self._cross_validate_vmapped(ds, epochs, labels, log,
-                                                    save_dir, resume)
+                                                    save_dir, resume,
+                                                    group=vmap_group)
             return self._cross_validate(ds, epochs, labels, log, save_dir,
                                         resume)
         finally:

@@ -8,11 +8,13 @@ subset is a flag.
 Usage:
     python scripts/train_fusion.py --cohort cohort.npz \
         --modalities '["imgN","imgA","imgL","cli"]' [--epochs 180] \
-        [--vmap_folds true] ...
+        [--vmap_folds true] [--vmap_group 25] ...
 
-``--vmap_folds``: train all folds of a seed simultaneously (fold-stacked
-params under jax.vmap, one scan program per seed) — same per-fold results,
-several times faster on chip; resume granularity becomes the seed.
+``--vmap_folds``: train (seed, fold) pairs simultaneously (fold-stacked
+params under jax.vmap, pairs packed cross-seed into chunked scan
+programs) — same per-fold results, several times faster on chip;
+fold-level resume still applies.  ``--vmap_group`` bounds pairs per
+device program (~4 param-sized f32 copies each).
 """
 
 import sys
@@ -34,11 +36,12 @@ def build_config(argv):
     cfg_path = overrides.pop("config", None)
     log_dir = overrides.pop("log_dir", None)
     vmap_folds = bool(overrides.pop("vmap_folds", False))
+    vmap_group = int(overrides.pop("vmap_group", 25))
     explicit = set()
     cfg = load_config(FusionTrainConfig, cfg_path, overrides,
                       explicit_out=explicit)
     cfg.arity_defaults(explicit=explicit)
-    return cfg, cohort_path, log_dir, vmap_folds
+    return cfg, cohort_path, log_dir, vmap_folds, vmap_group
 
 
 def main(argv):
@@ -48,7 +51,7 @@ def main(argv):
     from cervical_tpu.train.fusion_trainer import FusionTrainer
     from cervical_tpu.utils import show_config
 
-    cfg, cohort_path, log_dir, vmap_folds = build_config(argv)
+    cfg, cohort_path, log_dir, vmap_folds, vmap_group = build_config(argv)
     if log_dir:  # tee stdout to log/<timestamp>.log (util.py:50-67)
         import sys as _sys
         from cervical_tpu.utils import Logger
@@ -68,7 +71,8 @@ def main(argv):
 
     trainer = FusionTrainer(cfg)
     result = trainer.cross_validate(ds, save_dir=cfg.save_dir,
-                                    vmap_folds=vmap_folds)
+                                    vmap_folds=vmap_folds,
+                                    vmap_group=vmap_group)
     print(f"mean test accuracy over folds: {result['mean_test_acc']:.4f}")
 
 

@@ -109,7 +109,7 @@ def test_train_fusion_cli_applies_arity_defaults(modalities, expect):
         from train_fusion import build_config
     finally:
         sys.path.pop(0)
-    cfg, cohort, _, _ = build_config(
+    cfg, cohort, _, _, _ = build_config(
         ["--cohort", "/tmp/x.npz", "--modalities", json.dumps(modalities)])
     assert cohort == "/tmp/x.npz"
     assert tuple(cfg.modalities) == tuple(modalities)
@@ -125,13 +125,13 @@ def test_train_fusion_cli_explicit_beats_arity_default(tmp_path):
         from train_fusion import build_config
     finally:
         sys.path.pop(0)
-    cfg, _, _, _ = build_config(["--modalities", '["imgN","imgA","cli"]',
+    cfg, _, _, _, _ = build_config(["--modalities", '["imgN","imgA","cli"]',
                               "--kfold", "7"])
     assert cfg.kfold == 7                 # explicit CLI wins
     assert cfg.lr_step == 30              # untouched keys still get deltas
     p = tmp_path / "cfg.json"
     p.write_text(json.dumps({"modalities": ["imgN", "cli"],
                              "weight_decay": 0.005}))
-    cfg2, _, _, _ = build_config(["--config", str(p)])
+    cfg2, _, _, _, _ = build_config(["--config", str(p)])
     assert cfg2.weight_decay == 0.005     # explicit file value wins
     assert cfg2.lr_step == 20

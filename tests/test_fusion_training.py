@@ -341,6 +341,26 @@ def test_cross_validate_vmap_folds_matches_sequential(tmp_path):
                                    b["test"]["acc_all"], atol=1e-6)
 
 
+def test_cross_validate_vmap_folds_group_chunking(tmp_path):
+    """``vmap_group`` bounds pairs per device program: 4 (seed, fold)
+    pairs split into groups of 3 + 1 (ragged tail crossing a seed
+    boundary) must reproduce the one-group results exactly."""
+    cfg = FusionTrainConfig(in_features=32, hidden=64, epochs=2, kfold=2,
+                            repeat_num=2, batch_size=8)
+    ds = make_synthetic_fusion(num_patients=40, feature_dim=32, seed=9)
+
+    one = FusionTrainer(cfg).cross_validate(
+        ds, log=lambda *a: None, vmap_folds=True)
+    grouped = FusionTrainer(cfg).cross_validate(
+        ds, log=lambda *a: None, vmap_folds=True, vmap_group=3)
+    assert len(one["folds"]) == len(grouped["folds"]) == 4
+    for a, b in zip(one["folds"], grouped["folds"]):
+        assert (a["seed"], a["fold"]) == (b["seed"], b["fold"])
+        assert a["best_epoch"] == b["best_epoch"]
+        np.testing.assert_allclose(a["test"]["acc_all"],
+                                   b["test"]["acc_all"], atol=1e-6)
+
+
 def test_cross_validate_vmap_folds_fold_resume(tmp_path):
     """vmapped CV resumes at FOLD granularity like the sequential engine:
     a progress file covering one pair makes a rerun skip it, pack the
