@@ -1,10 +1,13 @@
 """Fetch the reference's public pretrained checkpoints and record SHA256s.
 
 The reference bootstraps its backbones from two public release files
-(Segmentation/deeplabv3+/utils/utils.py:76-88, nets/xception.py:197):
+(Segmentation/deeplabv3+/utils/utils.py:76-88, nets/xception.py:197) and
+partial-loads a whole-model checkpoint of the ``deeplab_xception.pth`` key
+scheme (train.py:121,317-339):
 
   mobilenet: .../deeplabv3-plus-pytorch/releases/download/v1.0/mobilenet_v2.pth.tar
   xception:  .../deeplabv3-plus-pytorch/releases/download/v1.0/xception_pytorch_imagenet.pth
+  deeplab_xception: .../deeplabv3-plus-pytorch/releases/download/v1.0/deeplab_xception.pth
 
 This script downloads them into ``model_data/`` (override with
 ``CERVICAL_WEIGHTS_DIR``) and appends SHA256 lines to
@@ -26,6 +29,12 @@ URLS = {
                   "releases/download/v1.0/mobilenet_v2.pth.tar"),
     "xception": ("https://github.com/bubbliiiing/deeplabv3-plus-pytorch/"
                  "releases/download/v1.0/xception_pytorch_imagenet.pth"),
+    # whole-model VOC-trained checkpoint with the exact key scheme the
+    # reference partial-loads (train.py:121 "Bakeboon/deeplab_xception.pth",
+    # :317-339); the upstream public artifact of that scheme:
+    "deeplab_xception": ("https://github.com/bubbliiiing/"
+                         "deeplabv3-plus-pytorch/releases/download/v1.0/"
+                         "deeplab_xception.pth"),
 }
 
 

@@ -173,3 +173,79 @@ def test_predictor_end_to_end_on_real_backbone(tmp_path):
     summary = evaluate_miou_dir(gt_dir, pred_dir, ids, 5,
                                 miou_out_path=str(tmp_path / "miou"))
     assert 0.0 <= summary["miou"] <= 1.0
+
+
+DEEPLAB_PTH = os.path.join(WEIGHTS_DIR, "deeplab_xception.pth")
+
+
+def test_whole_model_real_weight_logit_parity():
+    """Golden parity on the whole-model ``deeplab_xception.pth`` key scheme
+    the reference partial-loads (train.py:121,317-339): convert the real
+    checkpoint with ``convert_deeplab`` and assert the flax DeepLab
+    reproduces the torch reference's logits on fixed inputs."""
+    _skip_unless(DEEPLAB_PTH)
+    sd = _load_sd(DEEPLAB_PTH)
+    sd_np = {k: v.numpy() for k, v in sd.items()}
+    if any(k.startswith("module.") for k in sd_np):
+        sd_np = {k[len("module."):]: v for k, v in sd_np.items()}
+
+    import jax.numpy as jnp
+    from cervical_tpu.models.deeplab import DeepLab
+    from cervical_tpu.train import torch_import as TI
+
+    assert TI.is_full_deeplab_sd(sd_np)
+    nc = sd_np["cls_conv.weight"].shape[0]  # 21 for the public VOC release
+
+    dl = _ref_module("nets.deeplabv3_plus")
+    tm = dl.DeepLab(num_classes=nc, backbone="xception", pretrained=False,
+                    downsample_factor=16)
+    tm.load_state_dict({k: torch.as_tensor(v) for k, v in sd_np.items()},
+                       strict=False)
+    tm.eval()
+
+    rng = np.random.default_rng(23)
+    x = rng.normal(scale=1.0, size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ty = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ty = ty.numpy().transpose(0, 2, 3, 1)
+
+    params, stats, missing = TI.convert_deeplab(sd_np, "xception",
+                                                strict=False)
+    assert not missing, missing[:8]
+    fm = DeepLab(num_classes=nc, backbone="xception", downsample_factor=16,
+                 dtype=jnp.float32)
+    fy = np.asarray(fm.apply({"params": params, "batch_stats": stats},
+                             jnp.asarray(x), train=False))
+    assert fy.shape == ty.shape
+    atol = max(5e-4, 2e-4 * float(np.abs(ty).max()))
+    np.testing.assert_allclose(fy, ty, atol=atol, rtol=2e-3)
+
+
+def test_whole_model_partial_load_into_5_classes(tmp_path):
+    """The reference's bootstrap flow: partial-load the (21-class) whole
+    model into a 5-class net, skipping only the shape-mismatched cls head
+    (train.py:328-339).  ``create_state`` auto-detects the whole-model
+    scheme via ``is_full_deeplab_sd``."""
+    _skip_unless(DEEPLAB_PTH)
+    import jax
+    from cervical_tpu.config import SegTrainConfig, SegDataConfig
+    from cervical_tpu.train.seg_trainer import create_state, load_pretrained
+
+    cfg = SegTrainConfig(
+        data=SegDataConfig(input_shape=(64, 64), num_classes=5),
+        backbone="xception", dtype="float32", pretrained=DEEPLAB_PTH)
+    logs = []
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    # re-run the merge with a capturing log to assert the skip behavior
+    from cervical_tpu.train.seg_trainer import build_model
+    import jax.numpy as jnp
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32))
+    load_pretrained(cfg, variables, log=logs.append)
+    assert any("skipped" in m for m in logs), logs
+    # the backbone must have loaded for real: BN running stats are never
+    # random-init zeros/ones-only after a real merge
+    rm = np.asarray(jax.tree_util.tree_leaves(
+        state.batch_stats["backbone"])[0])
+    assert float(np.abs(rm).sum()) > 0.0
