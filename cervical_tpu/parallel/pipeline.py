@@ -18,6 +18,16 @@ Composes with data parallelism: the batch axis stays sharded over
 ``data`` while stages ride ``model``.  Numerical equivalence with the
 sequential forward is asserted in ``tests/test_parallel_layouts.py`` and
 the xception wiring is exercised by ``dryrun_multichip``.
+
+The executor is TRAINABLE: ``jax.grad`` differentiates through the
+ppermute schedule (a ppermute's transpose is the reversed permutation;
+the fill/drain masking is linear), with param and input grads matching
+the sequential chain (``test_pipeline_grad_matches_sequential``,
+``test_pipeline_sgd_training_matches_sequential``).  Limits: every stage
+must share one parameter structure (identical blocks), and stages run as
+pure functions — BN inside a pipelined block uses running stats, so
+training through the pipeline is frozen-BN training (no batch_stats
+updates across the stage boundary).
 """
 
 from __future__ import annotations

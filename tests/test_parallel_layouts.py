@@ -71,6 +71,70 @@ def test_pipeline_rejects_indivisible_blocks():
         pipeline_apply(stacked, x, _tp_mesh(), block_fn)
 
 
+def test_pipeline_grad_matches_sequential():
+    """PP is TRAINABLE: jax.grad differentiates through the ppermute
+    schedule (the transpose of a ppermute is the reversed permutation, and
+    the fill/drain masking is linear), and param + input grads match the
+    sequential chain to float tolerance."""
+    stacked, x, block_fn, _ = _toy_chain()
+    mesh = _tp_mesh()
+    n_blocks = stacked["w"].shape[0]
+
+    def loss_pp(params, xin):
+        return jnp.mean(pipeline_apply(params, xin, mesh, block_fn) ** 2)
+
+    def loss_seq(params, xin):
+        h = xin
+        for i in range(n_blocks):
+            h = block_fn(jax.tree_util.tree_map(lambda v: v[i], params), h)
+        return jnp.mean(h ** 2)
+
+    (gp, gx) = jax.grad(loss_pp, argnums=(0, 1))(stacked, x)
+    (sp, sx) = jax.grad(loss_seq, argnums=(0, 1))(stacked, x)
+    for k in sp:
+        np.testing.assert_allclose(np.asarray(gp[k]), np.asarray(sp[k]),
+                                   atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(sx),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_pipeline_sgd_training_matches_sequential():
+    """Two SGD steps whose loss/grads flow through the pipelined forward
+    reproduce the sequential chain's trajectory — the PP executor can sit
+    inside a real train step (frozen-BN / pure-function stages)."""
+    stacked, x, block_fn, _ = _toy_chain()
+    mesh = _tp_mesh()
+    n_blocks = stacked["w"].shape[0]
+    y = jnp.asarray(np.random.default_rng(1).normal(size=x.shape),
+                    jnp.float32)
+
+    def seq_fwd(params, xin):
+        h = xin
+        for i in range(n_blocks):
+            h = block_fn(jax.tree_util.tree_map(lambda v: v[i], params), h)
+        return h
+
+    def run(fwd):
+        params = jax.tree_util.tree_map(lambda v: v, stacked)
+        losses = []
+        for _ in range(2):
+            def loss_fn(p):
+                return jnp.mean((fwd(p, x) - y) ** 2)
+            l, g = jax.value_and_grad(loss_fn)(params)
+            params = jax.tree_util.tree_map(lambda p, gg: p - 0.1 * gg,
+                                            params, g)
+            losses.append(float(l))
+        return losses, params
+
+    l_pp, p_pp = run(lambda p, xin: pipeline_apply(p, xin, mesh, block_fn))
+    l_seq, p_seq = run(seq_fwd)
+    np.testing.assert_allclose(l_pp, l_seq, rtol=1e-6)
+    assert l_pp[1] < l_pp[0]
+    for k in p_seq:
+        np.testing.assert_allclose(np.asarray(p_pp[k]), np.asarray(p_seq[k]),
+                                   atol=1e-5, rtol=1e-5)
+
+
 @pytest.mark.slow
 def test_middle_flow_pipeline_matches_sequential():
     """The real xception middle flow (16 x XceptionBlock(728)) pipelined
