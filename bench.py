@@ -145,6 +145,13 @@ def main():
         "unit": "images/sec/chip",
         "best": round(best, 1),
         "backend": backend,
+        # semantics differ by backend (VERDICT r3 weak #2): the pallas
+        # kernels rotate with the exact Paeth 3-shear; the einsum fallback
+        # opts into the 2-shear approximation + int8-MXU resample for its
+        # margin (bench_augmentation two_shear=True).  Named here so the
+        # bench artifact says what it measured.
+        "rotation": ("exact-3-shear" if backend.startswith("pallas")
+                     else "2-shear-approx+int8"),
         "vs_baseline": round(ips / target, 3),
     }))
 

@@ -39,8 +39,17 @@ class SegDataConfig:
     # the +-30% aspect jitter of the same pipeline) — ~1.3x faster warp on
     # the target chip.  Default False = the exact Paeth 3-shear map (parity
     # by default); perf configs and bench.py opt in with True
-    # (docs/PARITY.md).
+    # (docs/PARITY.md).  einsum backend only: the pallas kernels are always
+    # exact 3-shear.
     two_shear: bool = False
+    # which fused on-device augmentation backend the TRAIN step uses
+    # (dataloader.py:55-154 rebuilt): "einsum" (ops/warp_xla.py, the
+    # everywhere-safe path) or "pallas" (ops/pallas_warp.py, the flagship
+    # kernels — exact 3-shear, per-image predicated rotation; falls back to
+    # interpret mode off-TPU so tests run on CPU).  Both are pinned to the
+    # gather oracle (tests/test_seg_training.py::test_train_aug_backends_
+    # match_oracle) and ABAB'd inside the full step in docs/PERF.md.
+    aug_backend: str = "einsum"
 
 
 @dataclass

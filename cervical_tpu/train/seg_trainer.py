@@ -187,6 +187,46 @@ def seg_loss_fn(cfg: SegTrainConfig, logits, labels, one_hot,
     return total, main
 
 
+def make_train_aug_fn(cfg: SegTrainConfig):
+    """The fused train-time augmentation closure ``(images_u8, labels_u8,
+    params, cap) -> (images bf16 [0,1], labels u8)`` used by the train step
+    — selected by ``cfg.data.aug_backend``:
+
+    * ``"einsum"``: :func:`cervical_tpu.ops.warp_xla.augment_batch_einsum`
+      with prefix-rotation / suffix-blur capacities and the config's
+      ``two_shear`` rotation semantics;
+    * ``"pallas"``: :func:`cervical_tpu.ops.pallas_warp.augment_batch_pallas`
+      — the flagship kernels (exact 3-shear, per-image ``lax.cond``
+      predicated rotation; ``two_shear`` does not apply).  Off-TPU the
+      kernels run in interpret mode so the same config works in CPU tests.
+
+    Both backends are pinned to the gather oracle through this exact
+    closure in ``tests/test_seg_training.py``.
+    """
+    h, w = cfg.data.input_shape
+    backend = cfg.data.aug_backend
+    if backend == "einsum":
+        from cervical_tpu.ops.warp_xla import augment_batch_einsum
+
+        def aug(images, labels, params, cap):
+            return augment_batch_einsum(
+                images, labels, params, (h, w), letterbox=False,
+                rotate_capacity=cap, blur_capacity=cap,
+                two_shear=cfg.data.two_shear)
+    elif backend == "pallas":
+        from cervical_tpu.ops.pallas_warp import augment_batch_pallas
+        interpret = jax.default_backend() != "tpu"
+
+        def aug(images, labels, params, cap):
+            del cap  # rotation is per-image predicated inside the kernel
+            return augment_batch_pallas(images, labels, params, (h, w),
+                                        letterbox=False, interpret=interpret)
+    else:
+        raise ValueError(f"unknown aug_backend {backend!r} "
+                         "(expected 'einsum' or 'pallas')")
+    return aug
+
+
 def _make_train_body(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
     """The un-jitted train-step body: (state, images_u8, labels_u8,
     aug_params, lr, rng) -> (state, metrics).  Augmentation runs inside
@@ -202,11 +242,11 @@ def _make_train_body(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
     h, w = cfg.data.input_shape
     nc = cfg.data.num_classes
 
-    from cervical_tpu.ops.warp_xla import augment_batch_einsum
+    aug_fn = make_train_aug_fn(cfg)
 
     def step(state: TrainState, images, labels, aug_params, lr, rng):
-        # fused on-device augmentation (einsum warp backend — see
-        # ops/warp_xla.py); returns normalized bf16 images + uint8 labels.
+        # fused on-device augmentation (backend per cfg.data.aug_backend —
+        # make_train_aug_fn); returns normalized bf16 images + uint8 labels.
         # rotation runs on a fixed batch prefix, blur on a fixed suffix
         # (marginals preserved by the loader shuffle — docs/PARITY.md).
         cap = max(1, images.shape[0] // 4)
@@ -217,10 +257,7 @@ def _make_train_body(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
                 scale_range=(cfg.data.scale_min, cfg.data.scale_max),
                 hue=cfg.data.hue, sat=cfg.data.sat, val=cfg.data.val,
                 rotate_prefix=cap, blur_suffix=cap)
-        images, labels = augment_batch_einsum(
-            images, labels, aug_params, (h, w), letterbox=False,
-            rotate_capacity=cap, blur_capacity=cap,
-            two_shear=cfg.data.two_shear)
+        images, labels = aug_fn(images, labels, aug_params, cap)
         images = images.astype(_dtype(cfg))
         labels = jnp.minimum(labels, nc)
         one_hot = one_hot_with_ignore(labels, nc)
