@@ -52,6 +52,48 @@ def _to_jsonable(x):
     return x
 
 
+def _save_group_ckpt(path, gpairs, next_c0, state, best, hists):
+    """Mid-group snapshot for the vmapped CV engine (graceful stop between
+    epoch chunks, SURVEY §5.3): the fold-stacked train state, best-by-val
+    snapshots, and the per-chunk metric histories accumulated so far.
+    Atomic single-file write (tmp + rename)."""
+    import json
+    import os
+    from flax import serialization
+
+    meta = {"pairs": [[int(s), int(f)] for s, f, *_ in gpairs],
+            "next_c0": int(next_c0)}
+    blob = serialization.to_bytes({"state": jax.device_get(state),
+                                   "best": jax.device_get(best)})
+    harrs = {f"h{i}": np.concatenate([np.asarray(h[i]) for h in hists])
+             for i in range(6)}
+    tmp = path + ".tmp"
+    np.savez(tmp, meta=np.frombuffer(json.dumps(meta).encode(), np.uint8),
+             blob=np.frombuffer(blob, np.uint8), **harrs)
+    # np.savez appends .npz to names lacking it; normalize
+    src = tmp if os.path.exists(tmp) else tmp + ".npz"
+    os.replace(src, path)
+
+
+def _load_group_ckpt(path, gpairs, state, best):
+    """Restore a mid-group snapshot if it matches the pending group's
+    (seed, fold) identity; returns (state, best, hists, next_c0) or None.
+    The deterministic pair-keyed PRNG streams are rebuilt by the caller,
+    so a restored run is bitwise-identical to an uninterrupted one."""
+    import json
+    from flax import serialization
+
+    data = np.load(path)
+    meta = json.loads(bytes(data["meta"]).decode())
+    if meta["pairs"] != [[int(s), int(f)] for s, f, *_ in gpairs]:
+        return None
+    restored = serialization.from_bytes(
+        {"state": jax.device_get(state), "best": jax.device_get(best)},
+        bytes(data["blob"]))
+    hists = [tuple(data[f"h{i}"] for i in range(6))]
+    return restored["state"], restored["best"], hists, int(meta["next_c0"])
+
+
 def build_model(cfg: FusionTrainConfig) -> FusionMAE:
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.dtype]
     return FusionMAE(modalities=tuple(cfg.modalities),
@@ -386,7 +428,12 @@ class FusionTrainer:
         different seeds pack into one group).  Trajectories reproduce the
         sequential path's fold-keyed PRNG streams, so per-fold results
         match the default path (ragged folds ride weight-0 padding) and
-        fold-level resume still applies; stop granularity is the group.
+        fold-level resume still applies.  Graceful stop loses at most ONE
+        epoch chunk: with ``save_dir`` set, a stop between chunks writes a
+        mid-group snapshot (``vmap_group_ckpt.npz`` — fold-stacked state +
+        best + histories + cursor) that the next run restores
+        bitwise-exactly; without a save_dir stop granularity falls back to
+        the group.
         ``vmap_group`` bounds the pairs per device program (device memory:
         ~4 param-sized f32 copies per pair — params + Adam m/v + best —
         so the default 25 holds ~5 GB at the reference's 12.5M-param
@@ -684,8 +731,10 @@ class FusionTrainer:
         (fold-level resume, like the sequential engine); the remaining
         pairs are packed into groups of at most ``group`` and each group
         trains as fold-stacked vmapped programs.  ``group`` bounds device
-        memory (4 param-sized f32 copies per pair).  Stop granularity is
-        the group.
+        memory (4 param-sized f32 copies per pair).  Graceful stop
+        checkpoints the in-flight group between epoch chunks (at most one
+        chunk of lost work; ``vmap_group_ckpt.npz``); see
+        :meth:`cross_validate`.
         """
         import json
         import os
@@ -704,6 +753,8 @@ class FusionTrainer:
         E = epochs
         progress_path = (os.path.join(save_dir, "cv_progress.json")
                          if save_dir else None)
+        group_ckpt_path = (os.path.join(save_dir, "vmap_group_ckpt.npz")
+                           if save_dir else None)
         done = {}
         if resume and progress_path and os.path.exists(progress_path):
             with open(progress_path) as f:
@@ -801,6 +852,20 @@ class FusionTrainer:
             best = {"acc": jnp.full((F,), -1.0, jnp.float32),
                     "epoch": jnp.full((F,), -1, jnp.int32),
                     "params": state["params"]}
+            # mid-group resume (graceful stop between epoch chunks): the
+            # deterministic pair-keyed streams above are identical on
+            # rebuild, so restoring (state, best, hists, cursor) continues
+            # the group bitwise-exactly where the stop left it
+            start_c0, restored_hists = 0, []
+            if resume and group_ckpt_path and os.path.exists(group_ckpt_path):
+                got = _load_group_ckpt(group_ckpt_path, gpairs, state, best)
+                if got is None:
+                    log("vmap group checkpoint does not match the pending "
+                        "group; ignoring it")
+                else:
+                    state, best, restored_hists, start_c0 = got
+                    log(f"resuming group mid-training at epoch "
+                        f"{start_c0}/{E}")
             # bounded dispatches: one program execution per epoch CHUNK —
             # a whole 180-epoch seed as ONE execution ran minutes and
             # tripped the tunnel's watchdog ("TPU worker process crashed");
@@ -812,8 +877,9 @@ class FusionTrainer:
                                jnp.asarray(tpres))
             idx, w = jnp.asarray(idx), jnp.asarray(w)
             msk, rngs_arr = jnp.asarray(msk), jnp.asarray(rngs_arr)
-            hists = []
-            for c0 in range(0, E, epoch_chunk):
+            hists = list(restored_hists)
+            stopped_mid_group = False
+            for c0 in range(start_c0, E, epoch_chunk):
                 c1 = min(c0 + epoch_chunk, E)
                 ecnts = jnp.arange(c0, c1, dtype=jnp.int32)
                 state, best, hist = program(
@@ -822,6 +888,24 @@ class FusionTrainer:
                     do_steps[c0:c1], ecnts, eidx, ew_d, epres,
                     xidx, xw, xpres)
                 hists.append(hist)
+                log(f"group {g0 // group}: epochs {c1}/{E}")
+                if self._stop_requested and c1 < E:
+                    # bound lost work to ONE epoch chunk: snapshot the
+                    # group between chunks and finish next run (VERDICT r3
+                    # weak #5); without a save_dir the stop falls back to
+                    # group granularity
+                    if group_ckpt_path:
+                        _save_group_ckpt(group_ckpt_path, gpairs, c1,
+                                         state, best, hists)
+                        log(f"stop requested: group checkpointed at epoch "
+                            f"{c1}/{E} ({group_ckpt_path})")
+                    stopped_mid_group = True
+                    break
+            if stopped_mid_group:
+                log(f"stopped early after {len(results)} folds "
+                    "(mid-group snapshot saved)" if group_ckpt_path else
+                    f"stopped early after {len(results)} folds")
+                break
             tr_ce, tr_corr, vce, vacc, tce, tacc = (
                 np.concatenate([np.asarray(h[i]) for h in hists])
                 for i in range(6))
@@ -864,6 +948,8 @@ class FusionTrainer:
                 with open(tmp, "w") as f:
                     json.dump(_to_jsonable({"folds": results}), f)
                 os.replace(tmp, progress_path)
+            if group_ckpt_path and os.path.exists(group_ckpt_path):
+                os.remove(group_ckpt_path)  # the group is finalized
             if self._stop_requested:
                 log(f"stopped early after {len(results)} folds")
                 break
