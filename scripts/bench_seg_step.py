@@ -32,16 +32,23 @@ def bench(backend: str, backbone="mobilenet", batch=8, size=512, iters=8, warmup
     # now the default, vs the 9-tap shift ladder — ops/depthwise.py; the
     # round-2 full-step ABAB made lax the default at 112 vs 181 ms).
     head = ""
+    aug_backend = "einsum"
     DW.set_default_backend("shift" if backend == "dwshift" else "lax")
     if backend == "mixed":
         C.set_default_backend("lax")
         head = "einsum"
     elif backend in ("dwlax", "dwshift"):
         C.set_default_backend("lax")
+    elif backend == "augpallas":
+        # lax convs + the flagship pallas aug kernels on the train path
+        # (SegDataConfig.aug_backend; ABAB against "lax" = einsum aug)
+        C.set_default_backend("lax")
+        aug_backend = "pallas"
     else:
         C.set_default_backend(backend)
     cfg = SegTrainConfig(data=SegDataConfig(input_shape=(size, size),
-                                            num_classes=5),
+                                            num_classes=5,
+                                            aug_backend=aug_backend),
                          backbone=backbone, unfreeze_batch_size=batch,
                          head_conv_backend=head)
     state = T.create_state(cfg, jax.random.PRNGKey(0))
