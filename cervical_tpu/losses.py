@@ -31,12 +31,21 @@ def _flat_ce_terms(logits, labels, class_weights, num_classes):
     valid = labels < num_classes
     safe_labels = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    # one-hot contraction instead of take_along_axis / weight gathers: XLA
+    # scalarizes big 2-D gathers on the target TPU platform (docs/
+    # PLATFORM.md item 5) — the gather formulation measured 53.3 ms vs
+    # 7.3 ms for this mask-and-sum at (8, 512, 512, 5), and was the single
+    # largest segment of the whole train step (round-4 decomposition,
+    # scripts/bench_seg_segments.py).  Picking exactly one element and
+    # adding zeros is bit-identical to the gather.
+    eq = (safe_labels[..., None] ==
+          jnp.arange(num_classes)).astype(jnp.float32)
+    nll = -jnp.sum(logp * eq, axis=-1)
     if class_weights is None:
         wy = jnp.where(valid, 1.0, 0.0)
     else:
         w = jnp.asarray(class_weights, jnp.float32)
-        wy = jnp.where(valid, w[safe_labels], 0.0)
+        wy = jnp.where(valid, jnp.sum(w * eq, axis=-1), 0.0)
     return nll * wy, wy, valid
 
 
@@ -142,7 +151,11 @@ def softmax_cross_entropy(logits, labels, weights=None):
     final micro-batch exactly).
     """
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    # mask-and-sum, not take_along_axis (see _flat_ce_terms): gathers
+    # scalarize on the target platform
+    eq = (labels[..., None] == jnp.arange(logp.shape[-1])).astype(
+        jnp.float32)
+    nll = -jnp.sum(logp * eq, axis=-1)
     if weights is None:
         return jnp.mean(nll)
     w = weights.astype(jnp.float32)
