@@ -141,6 +141,130 @@ def f_score(logits, one_hot_labels, beta=1.0, smooth=1e-5, threshold=0.5,
     return jnp.mean(score)
 
 
+def seg_loss_bundle(logits, labels, class_weights=None, num_classes=None,
+                    *, focal=True, alpha=0.5, gamma=2.0,
+                    dice=True, beta=1.0, smooth=1e-5, threshold=0.5,
+                    sample_weights=None, resize_to=None,
+                    align_corners=True, return_preds=False):
+    """Fused (focal-or-CE [+ dice], f_score) in class-major layout.
+
+    Semantically equivalent to composing :func:`focal_loss` /
+    :func:`cross_entropy_loss`, :func:`dice_loss` (with
+    ``one_hot_with_ignore(labels, num_classes)``) and :func:`f_score`
+    (same formulas, same masking, same denominators — only the reduction
+    layout differs, so results match to float tolerance), but built for
+    the TPU memory system: every intermediate lives as ``(C, B, HW)``
+    with the huge pixel axis minor.  The separate-function composition
+    keeps the class axis minor (``C`` = 5 or 6), which the TPU pads to
+    128 lanes in HBM/VMEM tiles — ~25x wasted bandwidth on every
+    elementwise pass — and each loss re-derives its own softmax and
+    one-hot.  Here ``log_softmax``/``softmax``/one-hot are computed once
+    and shared by all three outputs.
+
+    ``resize_to=(H, W)``: the model's final bilinear logits upsample
+    (deeplabv3_plus.py:187 ``F.interpolate(..., align_corners=True)``)
+    performed HERE, in class-major layout, on quarter-resolution logits
+    from ``DeepLab.apply(..., resize_logits=False)`` — the same
+    interpolation matrices as :func:`~cervical_tpu.ops.image.
+    resize_bilinear` contracted in the same order, so values match the
+    resize-then-loss composition to float tolerance while the lane-padded
+    ``(B, H, W, C)`` tensor never exists in HBM.
+
+    Returns ``(total, main, f_score)`` where ``total = main [+ dice]``.
+    """
+    if num_classes is None:
+        num_classes = logits.shape[-1]
+    nc = num_classes
+    b = logits.shape[0]
+    if resize_to is not None and tuple(resize_to) != logits.shape[1:3]:
+        from cervical_tpu.ops.image import _interp_matrix
+        h, w = logits.shape[1], logits.shape[2]
+        oh, ow = resize_to
+        lt4 = jnp.moveaxis(logits.astype(jnp.float32), -1, 0)  # (C,B,h,w)
+        wh = jnp.asarray(_interp_matrix(h, oh, align_corners), jnp.float32)
+        ww = jnp.asarray(_interp_matrix(w, ow, align_corners), jnp.float32)
+        lt4 = jnp.einsum("oh,cbhw->cbow", wh, lt4)
+        lt4 = jnp.einsum("pw,cbow->cbop", ww, lt4)
+        lt = lt4.reshape(nc, b, oh * ow)
+        n = oh * ow
+    else:
+        n = 1
+        for s in logits.shape[1:-1]:
+            n *= s
+        # class-major: minor dim HW is lane-aligned; C rides the tile axis
+        lt = jnp.moveaxis(logits.astype(jnp.float32).reshape(b, n, nc),
+                          -1, 0)
+    lab = labels.reshape(b, n)
+    valid = lab < nc
+    safe = jnp.where(valid, lab, 0)
+    eqf = (safe[None, :, :] ==
+           jnp.arange(nc, dtype=safe.dtype)[:, None, None]).astype(
+               jnp.float32)
+    logp = jax.nn.log_softmax(lt, axis=0)
+    nll = -jnp.sum(logp * eqf, axis=0)
+    if class_weights is None:
+        wy = valid.astype(jnp.float32)
+    else:
+        w = jnp.asarray(class_weights, jnp.float32)
+        wy = jnp.where(valid, jnp.sum(w[:, None, None] * eqf, axis=0), 0.0)
+    wnll = nll * wy
+
+    rw = None
+    if sample_weights is not None:
+        rw = jnp.asarray(sample_weights, jnp.float32)[:, None]  # (B, 1)
+    if focal:
+        pt = jnp.exp(-wnll)
+        f = (1.0 - pt) ** gamma * alpha * wnll
+        if rw is None:
+            main = jnp.mean(f)
+        else:
+            main = jnp.sum(f * rw) / jnp.maximum(jnp.sum(rw) * n, 1e-12)
+    else:
+        if rw is None:
+            main = jnp.sum(wnll) / jnp.maximum(jnp.sum(wy), 1e-12)
+        else:
+            main = (jnp.sum(wnll * rw) /
+                    jnp.maximum(jnp.sum(wy * rw), 1e-12))
+
+    probs_raw = jax.nn.softmax(lt, axis=0)                # (C, B, HW)
+    tgt = eqf * valid[None].astype(jnp.float32)  # == one_hot[..., :nc]
+    probs = probs_raw
+    if rw is not None:
+        probs = probs * rw[None]
+        tgt = tgt * rw[None]
+
+    total = main
+    if dice:
+        tp = jnp.sum(tgt * probs, axis=(1, 2))
+        fp = jnp.sum(probs, axis=(1, 2)) - tp
+        fn = jnp.sum(tgt, axis=(1, 2)) - tp
+        score = (((1 + beta**2) * tp + smooth) /
+                 ((1 + beta**2) * tp + beta**2 * fn + fp + smooth))
+        total = total + (1.0 - jnp.mean(score))
+
+    # f_score thresholds the raw probabilities, THEN applies row weights
+    # (matching :func:`f_score`'s `probs > t` on unweighted softmax)
+    pb = (probs_raw > threshold).astype(jnp.float32)
+    if rw is not None:
+        pb = pb * rw[None]
+    tp2 = jnp.sum(tgt * pb, axis=(1, 2))
+    fp2 = jnp.sum(pb, axis=(1, 2)) - tp2
+    fn2 = jnp.sum(tgt, axis=(1, 2)) - tp2
+    fs = jnp.mean(((1 + beta**2) * tp2 + smooth) /
+                  ((1 + beta**2) * tp2 + beta**2 * fn2 + fp2 + smooth))
+    if return_preds:
+        # class-major argmax == argmax over the trailing class axis of the
+        # (possibly in-bundle-resized) logits; (B, H, W) int32 for the
+        # confusion matrix without ever materializing padded logits
+        preds = jnp.argmax(lt, axis=0).astype(jnp.int32)
+        if resize_to is not None:
+            preds = preds.reshape((b,) + tuple(resize_to))
+        else:
+            preds = preds.reshape(labels.shape)
+        return total, main, fs, preds
+    return total, main, fs
+
+
 def softmax_cross_entropy(logits, labels, weights=None):
     """Plain mean CE over a batch of class logits (fusion heads).
 

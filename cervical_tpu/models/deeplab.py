@@ -99,7 +99,8 @@ class DeepLab(nn.Module):
     fused_middle: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False, freeze_backbone: bool = False):
+    def __call__(self, x, train: bool = False, freeze_backbone: bool = False,
+                 resize_logits: bool = True):
         if self.downsample_factor not in (8, 16):
             # ds=32 would give ASPP rate 16//32 = 0 -> dilation-0 convs that
             # fail deep inside XLA; the reference supports os 8/16 only
@@ -147,5 +148,13 @@ class DeepLab(nn.Module):
         y = nn.Dropout(0.1)(y, deterministic=not train)
         y = Conv(self.num_classes, (1, 1), dtype=self.dtype, backend=be,
                     name="cls_conv")(y)
+        if not resize_logits:
+            # quarter-resolution fp32 logits for the fused loss bundle,
+            # which performs the identical x4 bilinear resize in
+            # class-major layout (losses.seg_loss_bundle resize_to=...) —
+            # the (B, H, W, C) lane-padded full-res tensor never reaches
+            # HBM.  The f32 cast here matches the cast-before-resize of
+            # the default path, so both paths interpolate the same values.
+            return y.astype(jnp.float32)
         y = resize_bilinear(y.astype(jnp.float32), (h, w), align_corners=True)
         return y

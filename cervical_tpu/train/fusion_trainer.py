@@ -386,8 +386,11 @@ class FusionTrainer:
 
         true = np.asarray(ds["labels"])
         fused = np.concatenate(fused_logits)
-        loss = float(losses.softmax_cross_entropy(jnp.asarray(fused),
-                                                  jnp.asarray(true)))
+        # host-side CE: this is a reported metric on an (n, C) array whose n
+        # differs per fold — eager jnp here would remote-compile per size
+        lse = fused - fused.max(axis=-1, keepdims=True)
+        lse = lse - np.log(np.exp(lse).sum(axis=-1, keepdims=True))
+        loss = float(-lse[np.arange(len(true)), true].mean())
         out = {"loss": loss}
         for k in heads:
             out[f"acc_{k}"] = metrics.accuracy(true, np.concatenate(preds[k]))
@@ -745,6 +748,13 @@ class FusionTrainer:
                              "fold-stacked params cannot also be "
                              "tensor-sharded")
         ds = dict(ds)
+        # host copy for per-fold predict() subsetting: fancy-indexing jnp
+        # arrays dispatches 2-D device gathers, which scalarize on the
+        # target platform (docs/PLATFORM.md item 5)
+        ds_host = dict(ds)
+        ds_host["feats"] = {m: np.asarray(v) for m, v in ds["feats"].items()}
+        ds_host["present"] = np.asarray(ds["present"])
+        ds_host["labels"] = np.asarray(ds["labels"])
         ds["feats"] = {m: jnp.asarray(v) for m, v in ds["feats"].items()}
         labels_dev = jnp.asarray(ds["labels"])
         present_np = np.asarray(ds["present"])
@@ -847,7 +857,10 @@ class FusionTrainer:
             vidx, vw, vpres = pad_eval(val_list)
             tidx, tw, tpres = pad_eval(test_list)
 
-            state = jax.vmap(lambda k: self.init_state(feats0, k))(
+            # jit the vmapped init: unjitted vmap dispatches every init op
+            # eagerly — hundreds of tiny programs, each paying the remote
+            # AOT round-trip (~0.5 s/op on a slow-toolchain day)
+            state = jax.jit(jax.vmap(lambda k: self.init_state(feats0, k)))(
                 jnp.stack(init_keys))
             best = {"acc": jnp.full((F,), -1.0, jnp.float32),
                     "epoch": jnp.full((F,), -1, jnp.int32),
@@ -915,7 +928,7 @@ class FusionTrainer:
             fold_results = []
             for i, (seed, fold, _tr, _va, test_idx) in enumerate(gpairs):
                 bp = jax.tree_util.tree_map(lambda a: a[i], best_params)
-                final = self.predict(bp, subset(ds, test_idx))
+                final = self.predict(bp, subset(ds_host, test_idx))
                 if save_dir:
                     from cervical_tpu.train.callbacks import FusionHistory
                     from cervical_tpu.inference.fusion_predictor import (

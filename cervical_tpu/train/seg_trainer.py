@@ -40,7 +40,6 @@ from cervical_tpu import losses
 from cervical_tpu.config import SegTrainConfig
 from cervical_tpu.models.deeplab import DeepLab
 from cervical_tpu.ops import augment as aug_ops
-from cervical_tpu.ops.image import one_hot_with_ignore
 from cervical_tpu.metrics import confusion_matrix_jax
 from cervical_tpu.parallel import make_mesh, shard_batch
 from cervical_tpu.train import schedules
@@ -187,6 +186,25 @@ def seg_loss_fn(cfg: SegTrainConfig, logits, labels, one_hot,
     return total, main
 
 
+def seg_loss_bundle_fn(cfg: SegTrainConfig, logits, labels,
+                       sample_weights=None, resize_to=None):
+    """Fused-layout equivalent of ``seg_loss_fn`` + ``losses.f_score``.
+
+    Returns ``(total, main, f_score)`` via :func:`losses.seg_loss_bundle`
+    (class-major layout, shared softmax/one-hot) — the train/eval bodies
+    use this; ``seg_loss_fn`` remains the reference-shaped composition
+    the bundle is tested against (``tests/test_losses.py``).
+    ``resize_to``: pass the input shape when ``logits`` are the
+    quarter-resolution output of ``apply(..., resize_logits=False)`` —
+    the bundle then performs the model's final x4 bilinear upsample in
+    class-major layout (see ``losses.seg_loss_bundle``).
+    """
+    return losses.seg_loss_bundle(
+        logits, labels, jnp.asarray(cfg.cls_weights, jnp.float32),
+        cfg.data.num_classes, focal=cfg.focal_loss, dice=cfg.dice_loss,
+        sample_weights=sample_weights, resize_to=resize_to)
+
+
 def make_train_aug_fn(cfg: SegTrainConfig):
     """The fused train-time augmentation closure ``(images_u8, labels_u8,
     params, cap) -> (images bf16 [0,1], labels u8)`` used by the train step
@@ -260,7 +278,6 @@ def _make_train_body(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
         images, labels = aug_fn(images, labels, aug_params, cap)
         images = images.astype(_dtype(cfg))
         labels = jnp.minimum(labels, nc)
-        one_hot = one_hot_with_ignore(labels, nc)
 
         def loss_fn(params):
             # freeze_backbone prunes the backbone backward pass entirely
@@ -269,9 +286,10 @@ def _make_train_body(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
             logits, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 images, train=True, freeze_backbone=frozen,
-                mutable=["batch_stats"], rngs={"dropout": rng})
-            total, main = seg_loss_fn(cfg, logits, labels, one_hot)
-            fs = losses.f_score(logits, one_hot)
+                resize_logits=False, mutable=["batch_stats"],
+                rngs={"dropout": rng})
+            total, main, fs = seg_loss_bundle_fn(
+                cfg, logits, labels, resize_to=images.shape[1:3])
             return total, (updates["batch_stats"], main, fs)
 
         (total, (new_bs, main, fs)), grads = jax.value_and_grad(
@@ -352,14 +370,13 @@ def make_eval_step(cfg: SegTrainConfig, model: DeepLab):
             # zeroed out of focal/dice/f-score via sample_weights — eval
             # metrics are exact at any eval-set size
             labels = jnp.where(weights[:, None, None] > 0, labels, nc)
-        one_hot = one_hot_with_ignore(labels, nc)
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            images, train=False)
-        total, main = seg_loss_fn(cfg, logits, labels, one_hot,
-                                  sample_weights=weights)
-        fs = losses.f_score(logits, one_hot, sample_weights=weights)
-        preds = jnp.argmax(logits, axis=-1)
+            images, train=False, resize_logits=False)
+        total, main, fs, preds = losses.seg_loss_bundle(
+            logits, labels, jnp.asarray(cfg.cls_weights, jnp.float32),
+            nc, focal=cfg.focal_loss, dice=cfg.dice_loss,
+            sample_weights=weights, resize_to=(h, w), return_preds=True)
         hist = confusion_matrix_jax(labels, preds, nc)
         return {"loss": total, "f_score": fs, "hist": hist}
 

@@ -43,13 +43,18 @@ def flops_of(jitted, *args):
 
 
 def main():
-    patients, epochs = 1758, 40
+    patients, epochs, chunk = 1758, 40, 20
     widths = []
     for a in sys.argv[1:]:
         if a.startswith("--patients="):
             patients = int(a.split("=", 1)[1])
         elif a.startswith("--epochs="):
             epochs = int(a.split("=", 1)[1])
+        elif a.startswith("--chunk="):
+            # smaller epoch chunks = smaller scanned programs; today's
+            # remote AOT helper can hang on very large program compiles
+            # (platform drift) — thin the chunk to stay under its limit
+            chunk = int(a.split("=", 1)[1])
         else:
             widths.append(int(a))
     widths = widths or [1, 8, 25, 50]
@@ -96,23 +101,34 @@ def main():
 
     for w in widths:
         seeds = max(1, math.ceil(w / 5))
-        cfg = FusionTrainConfig(in_features=1024, epochs=epochs,
-                                repeat_num=seeds).arity_defaults()
-        trainer = FusionTrainer(cfg)
-        t0 = time.perf_counter()
-        out = trainer._cross_validate_vmapped(
-            ds, epochs, labels, lambda *a: None, None, group=w)
-        wall = time.perf_counter() - t0
-        pairs = len(out["folds"])
-        tf = (pairs * epochs * (nb * step_flops + eval_flops)) / wall / 1e12
-        print(json.dumps({
-            "width": w, "pairs": pairs, "epochs": epochs,
-            "patients": patients, "wall_s": round(wall, 1),
-            "pair_epochs_per_s": round(pairs * epochs / wall, 2),
-            "est_tflops_per_sec": round(tf, 1),
-            "est_mfu_pct": round(100 * tf / V5E_PEAK_BF16_TFLOPS, 1),
-            "mean_test_acc": round(out["mean_test_acc"], 4),
-        }), flush=True)
+        # two runs per width: run 0 is cold (compile-polluted wall — the
+        # remote AOT cost varies 10x between sessions); run 1 reuses every
+        # in-process compiled program but trains from a DIFFERENT base rng
+        # (start_seed bump) so no (fn, args) pair repeats — the tunnel
+        # result-caches identical executions (docs/PLATFORM.md).  The warm
+        # run is the MXU-fill figure.
+        for run, s0 in ((0, 0), (1, 100)):
+            cfg = FusionTrainConfig(in_features=1024, epochs=epochs,
+                                    start_seed=s0,
+                                    repeat_num=seeds).arity_defaults()
+            trainer = FusionTrainer(cfg)
+            t0 = time.perf_counter()
+            out = trainer._cross_validate_vmapped(
+                ds, epochs, labels,
+                lambda msg: print(f"# w={w} {msg}", flush=True), None,
+                epoch_chunk=chunk, group=w)
+            wall = time.perf_counter() - t0
+            pairs = len(out["folds"])
+            tf = (pairs * epochs * (nb * step_flops + eval_flops)) / wall / 1e12
+            print(json.dumps({
+                "width": w, "run": "cold" if run == 0 else "warm",
+                "pairs": pairs, "epochs": epochs, "chunk": chunk,
+                "patients": patients, "wall_s": round(wall, 1),
+                "pair_epochs_per_s": round(pairs * epochs / wall, 2),
+                "est_tflops_per_sec": round(tf, 1),
+                "est_mfu_pct": round(100 * tf / V5E_PEAK_BF16_TFLOPS, 1),
+                "mean_test_acc": round(out["mean_test_acc"], 4),
+            }), flush=True)
 
 
 if __name__ == "__main__":

@@ -29,7 +29,10 @@ Segments (reference nets/xception.py + nets/deeplabv3_plus.py):
   middle  blocks 4-19 at 32^2x728
   exit    block20 + conv3/4/5 (32^2x728 -> 32^2x2048)
   head    ASPP + shortcut + decoder + cls + x4 resize (-> 512^2x5 logits)
-  loss    focal + dice + f_score on 512^2 fp32 logits
+  loss    focal + dice + f_score on 512^2 fp32 logits (separate fns)
+  lossb   fused class-major bundle (losses.seg_loss_bundle, no one-hot)
+  lossr   bundle + in-bundle x4 class-major resize from 128^2 logits (the
+          round-4 production path: apply(resize_logits=False))
   opt     Adam update on the full 54M-param tree (carry-threaded)
   step    the real scanned train step (accounting check)
 
@@ -151,6 +154,32 @@ def build():
         return resize_bilinear(y.astype(jnp.float32), (size, size),
                                align_corners=True)
 
+    def headnd_fwd(params, deep, low, rng):
+        # head without the two dropouts AND without the final x4 resize
+        # (the round-4 production head: resize lives in the loss bundle)
+        # vs `head`: isolates threefry mask-gen + resize cost on chip
+        del rng
+        deep, _ = ASPP(256, rate=1, dtype=dt).apply(
+            {"params": params["aspp"], "batch_stats": s["aspp"]},
+            deep, True, mutable=["batch_stats"])
+        low, _ = _ConvBNReLU(48, 1, dtype=dt).apply(
+            {"params": params["shortcut"], "batch_stats": s["shortcut"]},
+            low, True, mutable=["batch_stats"])
+        deep = resize_bilinear(deep, (low.shape[1], low.shape[2]),
+                               align_corners=True)
+        y = jnp.concatenate([deep, low], axis=-1)
+        y, _ = _ConvBNReLU(256, 3, dtype=dt).apply(
+            {"params": params["cat_conv1"],
+             "batch_stats": s["cat_conv1"]}, y, True,
+            mutable=["batch_stats"])
+        y, _ = _ConvBNReLU(256, 3, dtype=dt).apply(
+            {"params": params["cat_conv2"],
+             "batch_stats": s["cat_conv2"]}, y, True,
+            mutable=["batch_stats"])
+        y = Conv(nc, (1, 1), dtype=dt).apply({"params": params["cls_conv"]},
+                                             y)
+        return y.astype(jnp.float32)
+
     def aug_fwd(params, images, labels, aug_params):
         del params
         cap = max(1, batch // 4)
@@ -166,6 +195,22 @@ def build():
         total, _ = T.seg_loss_fn(cfg, logits, labels, one_hot)
         return total + 0.0 * losses.f_score(logits, one_hot)
 
+    def lossb_fwd(params, logits, labels):
+        # the round-4 fused class-major bundle (losses.seg_loss_bundle):
+        # one-hot derived inside, so the (B,H,W,6) HBM tensor never exists
+        del params
+        total, _, fs = T.seg_loss_bundle_fn(cfg, logits, labels)
+        return total + 0.0 * fs
+
+    def lossr_fwd(params, logits_q, labels):
+        # bundle + in-bundle class-major x4 resize from quarter-res logits
+        # (the production train path: apply(resize_logits=False)) — replaces
+        # head's final resize AND loss; compare vs loss+~4ms of head resize
+        del params
+        total, _, fs = T.seg_loss_bundle_fn(cfg, logits_q, labels,
+                                            resize_to=(size, size))
+        return total + 0.0 * fs
+
     # -- sample inputs -----------------------------------------------------
     rng = np.random.default_rng(0)
     m = size // 16
@@ -179,6 +224,8 @@ def build():
                         dt)
     logits0 = jnp.asarray(rng.normal(size=(batch, size, size, nc)),
                           jnp.float32)
+    logits_q0 = jnp.asarray(rng.normal(size=(batch, size // 4, size // 4,
+                                             nc)), jnp.float32)
     labels_i = jnp.asarray(rng.integers(0, nc, (batch, size, size)),
                            jnp.int32)
     one_hot0 = one_hot_with_ignore(labels_i, nc)
@@ -238,9 +285,16 @@ def build():
             "head": (head_fwd, _headp, True,
                      (stackK(x_deep, K), stackK(x_low, K),
                       jax.random.split(jax.random.PRNGKey(5), K))),
+            "headnd": (headnd_fwd, _headp, True,
+                       (stackK(x_deep, K), stackK(x_low, K),
+                        jax.random.split(jax.random.PRNGKey(5), K))),
             "loss": (loss_fwd, {}, True,
                      (stackK(logits0, K), stackK(labels_i, K, False),
                       stackK(one_hot0, K))),
+            "lossb": (lossb_fwd, {}, True,
+                      (stackK(logits0, K), stackK(labels_i, K, False))),
+            "lossr": (lossr_fwd, {}, True,
+                      (stackK(logits_q0, K), stackK(labels_i, K, False))),
         }
 
     # optimizer: K carry-threaded Adam updates with fixed grads (carry makes

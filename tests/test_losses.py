@@ -93,6 +93,111 @@ def test_f_score_thresholded():
     np.testing.assert_allclose(score, 1.0, atol=1e-4)
 
 
+@pytest.mark.parametrize("focal", [True, False])
+@pytest.mark.parametrize("dice", [True, False])
+@pytest.mark.parametrize("weighted", ["none", "cls", "cls+rows"])
+def test_seg_loss_bundle_matches_composition(focal, dice, weighted):
+    """The fused class-major bundle must equal the reference-shaped
+    composition (focal/CE [+ dice] and f_score) to float tolerance,
+    including ignore pixels, class weights, and weight-0 padding rows."""
+    rng = np.random.default_rng(7)
+    nc = 5
+    logits = jnp.asarray(rng.normal(size=(4, 6, 7, nc)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, nc + 1, (4, 6, 7)).astype(np.int32))
+    cls_w = None if weighted == "none" else jnp.asarray(
+        [1.0, 1.0, 5.0, 3.0, 4.0])
+    rows = jnp.asarray([1.0, 1.0, 0.0, 1.0]) if weighted == "cls+rows" \
+        else None
+    one_hot = one_hot_with_ignore(labels, nc)
+    if focal:
+        main_ref = losses.focal_loss(logits, labels, cls_w, nc,
+                                     sample_weights=rows)
+    else:
+        main_ref = losses.cross_entropy_loss(logits, labels, cls_w, nc,
+                                             sample_weights=rows)
+    total_ref = main_ref
+    if dice:
+        total_ref = total_ref + losses.dice_loss(logits, one_hot,
+                                                 sample_weights=rows)
+    fs_ref = losses.f_score(logits, one_hot, sample_weights=rows)
+
+    total, main, fs = losses.seg_loss_bundle(
+        logits, labels, cls_w, nc, focal=focal, dice=dice,
+        sample_weights=rows)
+    np.testing.assert_allclose(np.asarray(main), np.asarray(main_ref),
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(total), np.asarray(total_ref),
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(fs), np.asarray(fs_ref),
+                               rtol=2e-5, atol=1e-7)
+
+
+def test_seg_loss_bundle_grad_matches_composition():
+    """Gradients through the bundle (the train path) must match gradients
+    through the separate-function composition."""
+    rng = np.random.default_rng(3)
+    nc = 4
+    logits = jnp.asarray(rng.normal(size=(2, 5, 5, nc)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, nc + 1, (2, 5, 5)).astype(np.int32))
+    cls_w = jnp.asarray([1.0, 2.0, 0.5, 1.5])
+
+    def ref_total(lg):
+        oh = one_hot_with_ignore(labels, nc)
+        return (losses.focal_loss(lg, labels, cls_w, nc) +
+                losses.dice_loss(lg, oh))
+
+    def bundle_total(lg):
+        return losses.seg_loss_bundle(lg, labels, cls_w, nc)[0]
+
+    g_ref = jax.grad(ref_total)(logits)
+    g_new = jax.grad(bundle_total)(logits)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_seg_loss_bundle_resize_matches_model_resize():
+    """apply(resize_logits=False) + bundle(resize_to=HW) must equal the
+    default full-res logits fed through the separate-loss composition —
+    the class-major in-bundle upsample is the model's own x4 bilinear."""
+    from cervical_tpu.config import SegTrainConfig, SegDataConfig
+    from cervical_tpu.train import seg_trainer as T
+    cfg = SegTrainConfig(
+        data=SegDataConfig(input_shape=(64, 64), num_classes=5),
+        backbone="mobilenet", dtype="float32")
+    state = T.create_state(cfg, jax.random.PRNGKey(0))
+    model = T.build_model(cfg)
+    rng = np.random.default_rng(11)
+    images = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 6, (2, 64, 64)).astype(np.int32))
+    vars_ = {"params": state.params, "batch_stats": state.batch_stats}
+
+    full = model.apply(vars_, images, train=False)
+    assert full.shape == (2, 64, 64, 5)
+    one_hot = one_hot_with_ignore(labels, 5)
+    total_ref, main_ref = T.seg_loss_fn(cfg, full, labels, one_hot)
+    fs_ref = losses.f_score(full, one_hot)
+
+    quarter = model.apply(vars_, images, train=False, resize_logits=False)
+    assert quarter.shape[1] < 64 and quarter.dtype == jnp.float32
+    total, main, fs = T.seg_loss_bundle_fn(cfg, quarter, labels,
+                                           resize_to=(64, 64))
+    np.testing.assert_allclose(np.asarray(total), np.asarray(total_ref),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(main), np.asarray(main_ref),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fs), np.asarray(fs_ref),
+                               rtol=2e-5, atol=1e-6)
+
+    # eval path: class-major argmax preds == argmax of the full-res logits
+    t2, _, f2, preds = losses.seg_loss_bundle(
+        quarter, labels, jnp.asarray(cfg.cls_weights, jnp.float32), 5,
+        resize_to=(64, 64), return_preds=True)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(total_ref),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(preds),
+                                  np.argmax(np.asarray(full), axis=-1))
+
+
 def test_masked_mae_mse():
     out = jnp.ones((2, 4, 8))
     lbl = jnp.zeros((2, 4, 8))
