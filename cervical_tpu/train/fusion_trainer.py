@@ -734,7 +734,13 @@ class FusionTrainer:
         (fold-level resume, like the sequential engine); the remaining
         pairs are packed into groups of at most ``group`` and each group
         trains as fold-stacked vmapped programs.  ``group`` bounds device
-        memory (4 param-sized f32 copies per pair).  Graceful stop
+        memory (4 param-sized f32 copies per pair).  The default 25 is
+        measured, not guessed: chip fill climbs monotonically with width
+        (pair-epochs/s 0.28 / 0.74 / 1.33-1.57 at widths 1 / 8 / 25,
+        `scripts/bench_fusion_groupwidth.py`, docs/PERF.md round-4 rows),
+        width 50 failed to compile on the round-4 toolchain, and 25 is
+        exactly the full reference protocol (5 seeds x 5 folds) in one
+        group.  Graceful stop
         checkpoints the in-flight group between epoch chunks (at most one
         chunk of lost work; ``vmap_group_ckpt.npz``); see
         :meth:`cross_validate`.
