@@ -98,6 +98,59 @@ def bench_augmentation(batch=1024, size=512, iters=12, windows=3, warmup=6):
     return batch * iters / median, batch * iters / times[0]
 
 
+def _supervise(argv):
+    """Run the real bench in a child process under a hard timeout.
+
+    The round-4 builder session hit repeated TUNNEL WEDGES: every device
+    call (even a 128x128 matmul) blocks forever with the client
+    epoll-waiting on the axon RPC, then the platform self-recovers
+    ~40-60 min later (docs/PLATFORM.md round-4 drift row).  A wedge
+    during the driver's bench run would hang it with no artifact, so the
+    parent enforces a per-attempt wall cap, retries once after a cool-off
+    (wedges are transient), and emits a diagnosable JSON line if both
+    attempts die.  Re-runs itself with CERVICAL_BENCH_CHILD=1 to skip
+    supervision in the child.
+    """
+    import os
+    import subprocess
+    import sys
+    import time as _time
+
+    attempt_cap = int(os.environ.get("CERVICAL_BENCH_TIMEOUT", "2700"))
+    env = dict(os.environ, CERVICAL_BENCH_CHILD="1")
+    last_fail = "?"
+    for attempt in range(2):
+        try:
+            res = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                  *argv], env=env, capture_output=True,
+                                 text=True, timeout=attempt_cap)
+        except subprocess.TimeoutExpired:
+            last_fail = f"timeout>{attempt_cap}s (tunnel wedge?)"
+            print(f"bench attempt {attempt} hit the {attempt_cap}s wall cap "
+                  "— likely a platform tunnel wedge; killed the child",
+                  file=sys.stderr)
+            if attempt == 0:
+                _time.sleep(int(os.environ.get("CERVICAL_BENCH_COOLOFF",
+                                               "300")))
+            continue
+        sys.stderr.write(res.stderr)
+        lines = [ln for ln in res.stdout.splitlines()
+                 if ln.startswith("{")]
+        if res.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        last_fail = (f"exit {res.returncode}: "
+                     f"{(res.stderr or res.stdout).strip()[-300:]}")
+        if attempt == 0:
+            _time.sleep(60)
+    print(json.dumps({
+        "metric": "augmented 512x512 images/sec/chip (fused train-time preprocessing)",
+        "value": 0.0, "unit": "images/sec/chip", "backend": "none",
+        "vs_baseline": 0.0,
+        "error": f"bench could not complete: {last_fail}"}))
+    return 1
+
+
 def main():
     import os
     import sys
@@ -157,4 +210,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import os as _os
+    import sys as _sys
+    if _os.environ.get("CERVICAL_BENCH_CHILD"):
+        main()
+    else:
+        _sys.exit(_supervise(_sys.argv[1:]))
