@@ -113,6 +113,17 @@ class SegTrainConfig:
     # platform (docs/PLATFORM.md round-2 chain-length sweep), so K steps
     # per program amortize it to ~28/K ms/step.  1 = one step per program.
     steps_per_call: int = 4
+    # PRNG implementation for the train-time dropout masks: "rbg" (XLA
+    # RngBitGenerator, default) or "threefry" (jax default).  The head's
+    # two dropout layers generate (B,128,128,256)-sized masks twice per
+    # step (forward + backward replay); threefry bit-gen measured ~6.9 ms
+    # of the 59 ms xception 512^2 b8 step (scripts/bench_seg_segments.py
+    # headd-vs-headnd), and the rbg step ABAB'd 54.8 vs 58.9 ms — 7%
+    # (docs/PERF.md round 4).  Determinism holds either way (same key ->
+    # same masks on a given backend); the streams differ but both are
+    # valid dropout (the reference's stream is torch's RNG — no parity
+    # constraint ties dropout to threefry).
+    dropout_rng_impl: str = "rbg"
 
 
 @dataclass

@@ -278,6 +278,17 @@ def _make_train_body(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
         images, labels = aug_fn(images, labels, aug_params, cap)
         images = images.astype(_dtype(cfg))
         labels = jnp.minimum(labels, nc)
+        if cfg.dropout_rng_impl == "rbg":
+            # rbg keys: fold/split stay threefry-cheap, but the BIG draw —
+            # the head's two (B,128,128,256) dropout masks, regenerated in
+            # the backward replay — uses the XLA RngBitGenerator instead
+            # of threefry (config.dropout_rng_impl; measured ~6.9 ms of
+            # the 59 ms step)
+            kd = (jax.random.key_data(rng)
+                  if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key)
+                  else rng)
+            rng = jax.random.wrap_key_data(
+                jnp.concatenate([kd, kd]).astype(jnp.uint32), impl="rbg")
 
         def loss_fn(params):
             # freeze_backbone prunes the backbone backward pass entirely

@@ -180,6 +180,36 @@ def build():
                                              y)
         return y.astype(jnp.float32)
 
+    def headd_fwd(params, deep, low, rng):
+        # the PRODUCTION round-4 head: dropout kept, final x4 resize moved
+        # into the loss bundle.  vs `headnd`: the dropout (threefry mask
+        # gen) cost; vs `head`: the resize cost
+        deep, _ = ASPP(256, rate=1, dtype=dt).apply(
+            {"params": params["aspp"], "batch_stats": s["aspp"]},
+            deep, True, mutable=["batch_stats"])
+        low, _ = _ConvBNReLU(48, 1, dtype=dt).apply(
+            {"params": params["shortcut"], "batch_stats": s["shortcut"]},
+            low, True, mutable=["batch_stats"])
+        deep = resize_bilinear(deep, (low.shape[1], low.shape[2]),
+                               align_corners=True)
+        y = jnp.concatenate([deep, low], axis=-1)
+        k1, k2 = jax.random.split(rng)
+        y, _ = _ConvBNReLU(256, 3, dtype=dt).apply(
+            {"params": params["cat_conv1"],
+             "batch_stats": s["cat_conv1"]}, y, True,
+            mutable=["batch_stats"])
+        y = nn.Dropout(0.5).apply({}, y, deterministic=False,
+                                  rngs={"dropout": k1})
+        y, _ = _ConvBNReLU(256, 3, dtype=dt).apply(
+            {"params": params["cat_conv2"],
+             "batch_stats": s["cat_conv2"]}, y, True,
+            mutable=["batch_stats"])
+        y = nn.Dropout(0.1).apply({}, y, deterministic=False,
+                                  rngs={"dropout": k2})
+        y = Conv(nc, (1, 1), dtype=dt).apply({"params": params["cls_conv"]},
+                                             y)
+        return y.astype(jnp.float32)
+
     def aug_fwd(params, images, labels, aug_params):
         del params
         cap = max(1, batch // 4)
@@ -288,6 +318,9 @@ def build():
             "headnd": (headnd_fwd, _headp, True,
                        (stackK(x_deep, K), stackK(x_low, K),
                         jax.random.split(jax.random.PRNGKey(5), K))),
+            "headd": (headd_fwd, _headp, True,
+                      (stackK(x_deep, K), stackK(x_low, K),
+                       jax.random.split(jax.random.PRNGKey(5), K))),
             "loss": (loss_fwd, {}, True,
                      (stackK(logits0, K), stackK(labels_i, K, False),
                       stackK(one_hot0, K))),

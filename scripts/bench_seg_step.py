@@ -44,13 +44,19 @@ def bench(backend: str, backbone="mobilenet", batch=8, size=512, iters=8, warmup
         # (SegDataConfig.aug_backend; ABAB against "lax" = einsum aug)
         C.set_default_backend("lax")
         aug_backend = "pallas"
+    elif backend == "rbgdrop":
+        # lax convs + rbg dropout-mask PRNG (SegTrainConfig.
+        # dropout_rng_impl; ABAB against "lax" = threefry dropout)
+        C.set_default_backend("lax")
     else:
         C.set_default_backend(backend)
     cfg = SegTrainConfig(data=SegDataConfig(input_shape=(size, size),
                                             num_classes=5,
                                             aug_backend=aug_backend),
                          backbone=backbone, unfreeze_batch_size=batch,
-                         head_conv_backend=head)
+                         head_conv_backend=head,
+                         dropout_rng_impl=("rbg" if backend == "rbgdrop"
+                                           else "threefry"))
     state = T.create_state(cfg, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     if scan_k:
