@@ -112,7 +112,11 @@ class SegTrainConfig:
     # execution carries a fixed ~28 ms serialized cost on the target
     # platform (docs/PLATFORM.md round-2 chain-length sweep), so K steps
     # per program amortize it to ~28/K ms/step.  1 = one step per program.
-    steps_per_call: int = 4
+    # 8 (round 4, was 4): once the step shrank to ~55 ms the remaining
+    # dispatch share mattered — rbg scan8 ABAB'd 53.6/53.6 ms vs scan4
+    # 54.8-59.2 (docs/PERF.md); epoch tails shorter than K fall back to
+    # single steps, so any dataset size works.
+    steps_per_call: int = 8
     # PRNG implementation for the train-time dropout masks: "rbg" (XLA
     # RngBitGenerator, default) or "threefry" (jax default).  The head's
     # two dropout layers generate (B,128,128,256)-sized masks twice per
