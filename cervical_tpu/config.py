@@ -50,6 +50,15 @@ class SegDataConfig:
     # gather oracle (tests/test_seg_training.py::test_train_aug_backends_
     # match_oracle) and ABAB'd inside the full step in docs/PERF.md.
     aug_backend: str = "einsum"
+    # scanned train steps only: augment all K sub-batches as ONE (K*B)
+    # batch before the scan instead of per step inside it.  At b8 the aug
+    # kernels are launch/latency-bound (~0.6 ms/img vs ~0.08 at b1024);
+    # batching K=8 sub-batches recovers most of that.  Requires
+    # aug_backend="pallas": its per-image predicated rotation/blur makes
+    # the merged batch BIT-IDENTICAL to the per-step path (tested); the
+    # einsum backend's prefix-capacity slicing cannot represent the
+    # strided rotation pattern of stacked per-sub-batch params.
+    aug_pre_batch: bool = False
 
 
 @dataclass

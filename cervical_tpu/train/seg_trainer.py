@@ -245,7 +245,17 @@ def make_train_aug_fn(cfg: SegTrainConfig):
     return aug
 
 
-def _make_train_body(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
+def _sample_step_aug_params(cfg: SegTrainConfig, pk, batch):
+    cap = max(1, batch // 4)
+    return aug_ops.sample_augment_params(
+        pk, batch, jitter=cfg.data.jitter,
+        scale_range=(cfg.data.scale_min, cfg.data.scale_max),
+        hue=cfg.data.hue, sat=cfg.data.sat, val=cfg.data.val,
+        rotate_prefix=cap, blur_suffix=cap)
+
+
+def _make_train_body(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool,
+                     pre_augmented: bool = False):
     """The un-jitted train-step body: (state, images_u8, labels_u8,
     aug_params, lr, rng) -> (state, metrics).  Augmentation runs inside
     the step (fused).
@@ -256,6 +266,11 @@ def _make_train_body(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
     on the target platform costs more than the whole forward pass
     (docs/PLATFORM.md round-2 probes).  Explicit params stay supported for
     oracle/parity tests.
+
+    ``pre_augmented``: the scan pre-batched-aug path
+    (``SegDataConfig.aug_pre_batch``) — ``images``/``labels`` arrive
+    already augmented (bf16 [0,1] / uint8) and ``rng`` is the
+    post-aug-split key, so the body skips augmentation and the split.
     """
     h, w = cfg.data.input_shape
     nc = cfg.data.num_classes
@@ -267,15 +282,13 @@ def _make_train_body(cfg: SegTrainConfig, model: DeepLab, tx, frozen: bool):
         # make_train_aug_fn); returns normalized bf16 images + uint8 labels.
         # rotation runs on a fixed batch prefix, blur on a fixed suffix
         # (marginals preserved by the loader shuffle — docs/PARITY.md).
-        cap = max(1, images.shape[0] // 4)
-        if aug_params is None:
-            rng, pk = jax.random.split(rng)
-            aug_params = aug_ops.sample_augment_params(
-                pk, images.shape[0], jitter=cfg.data.jitter,
-                scale_range=(cfg.data.scale_min, cfg.data.scale_max),
-                hue=cfg.data.hue, sat=cfg.data.sat, val=cfg.data.val,
-                rotate_prefix=cap, blur_suffix=cap)
-        images, labels = aug_fn(images, labels, aug_params, cap)
+        if not pre_augmented:
+            cap = max(1, images.shape[0] // 4)
+            if aug_params is None:
+                rng, pk = jax.random.split(rng)
+                aug_params = _sample_step_aug_params(cfg, pk,
+                                                     images.shape[0])
+            images, labels = aug_fn(images, labels, aug_params, cap)
         images = images.astype(_dtype(cfg))
         labels = jnp.minimum(labels, nc)
         if cfg.dropout_rng_impl == "rbg":
@@ -345,7 +358,51 @@ def make_train_step_scan(cfg: SegTrainConfig, model: DeepLab, tx,
     serialized cost on the target platform (docs/PLATFORM.md round-2
     chain-length sweep), so batching K dependent steps amortizes it to
     ~28/K ms per step.  Metrics come back stacked per sub-step, shape (K,).
-    Sub-step batches stay sharded over the mesh 'data' axis (axis 1)."""
+    Sub-step batches stay sharded over the mesh 'data' axis (axis 1).
+
+    ``cfg.data.aug_pre_batch``: augment all K sub-batches as ONE (K*B)
+    batch before the scan — at b8 the aug kernels are launch-bound, so
+    the merged batch amortizes them (bit-identical to the per-step path
+    for the pallas backend; see SegDataConfig.aug_pre_batch)."""
+    if cfg.data.aug_pre_batch and k > 1:
+        if cfg.data.aug_backend != "pallas":
+            # the einsum backend rotates a batch PREFIX (capacity
+            # slicing); stacked per-sub-batch params place rotating
+            # images at strided positions it would silently skip.  The
+            # pallas kernels predicate per image, so any pattern works.
+            raise ValueError("aug_pre_batch requires aug_backend='pallas'")
+        body = _make_train_body(cfg, model, tx, frozen, pre_augmented=True)
+        aug_fn = make_train_aug_fn(cfg)
+
+        @jax.jit
+        def scan_step(state: TrainState, images, labels, lr, rng):
+            keys = jax.random.split(rng, k)
+            # per-step (rng_i, pk_i) exactly as the per-step body derives
+            # them: split(keys[i]) -> row 0 = model rng, row 1 = aug key
+            k2 = jax.vmap(jax.random.split)(keys)
+            rngs_i, pks = k2[:, 0], k2[:, 1]
+            b = images.shape[1]
+            params = jax.vmap(
+                lambda pk: _sample_step_aug_params(cfg, pk, b))(pks)
+
+            def flat(a):
+                return a.reshape((k * b,) + a.shape[2:])
+
+            params_flat = jax.tree_util.tree_map(flat, params)
+            # cap is ignored by the pallas backend (per-image predication)
+            ia, la = aug_fn(flat(images), flat(labels), params_flat,
+                            max(1, (k * b) // 4))
+            ia = ia.reshape((k, b) + ia.shape[1:])
+            la = la.reshape((k, b) + la.shape[1:])
+
+            def f(st, xs):
+                im, lb, ky = xs
+                return body(st, im, lb, None, lr, ky)
+
+            return jax.lax.scan(f, state, (ia, la, rngs_i))
+
+        return scan_step
+
     body = _make_train_body(cfg, model, tx, frozen)
 
     @jax.jit

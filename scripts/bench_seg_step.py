@@ -48,15 +48,26 @@ def bench(backend: str, backbone="mobilenet", batch=8, size=512, iters=8, warmup
         # lax convs + rbg dropout-mask PRNG (SegTrainConfig.
         # dropout_rng_impl; ABAB against "lax" = threefry dropout)
         C.set_default_backend("lax")
+    elif backend in ("augpallasr", "prebatch"):
+        # production-default rbg dropout + pallas aug; "prebatch"
+        # additionally augments all K sub-batches as one (K*B) batch
+        # before the scan (SegDataConfig.aug_pre_batch — bit-identical
+        # per-image results, amortized kernel launches)
+        C.set_default_backend("lax")
+        aug_backend = "pallas"
     else:
         C.set_default_backend(backend)
     cfg = SegTrainConfig(data=SegDataConfig(input_shape=(size, size),
                                             num_classes=5,
-                                            aug_backend=aug_backend),
+                                            aug_backend=aug_backend,
+                                            aug_pre_batch=(backend ==
+                                                           "prebatch")),
                          backbone=backbone, unfreeze_batch_size=batch,
                          head_conv_backend=head,
-                         dropout_rng_impl=("rbg" if backend == "rbgdrop"
-                                           else "threefry"))
+                         dropout_rng_impl=(
+                             "rbg" if backend in ("rbgdrop", "augpallasr",
+                                                  "prebatch")
+                             else "threefry"))
     state = T.create_state(cfg, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     if scan_k:

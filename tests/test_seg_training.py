@@ -278,6 +278,50 @@ def test_reference_weights_init_statistics(tmp_path):
     assert big2.std() > 0.03  # lecun-normal spreads wider than 0.02
 
 
+def test_scan_prebatch_aug_matches_per_step(tmp_path):
+    """aug_pre_batch=True (all K sub-batches augmented as one (K*B) batch
+    before the scan) must match the per-step-aug scan exactly: with the
+    pallas backend rotation/blur are per-image predicated, so the merged
+    batch produces the same augmented images, and the model math is
+    identical (same per-step keys)."""
+    import dataclasses
+    from cervical_tpu.train import seg_trainer as T
+
+    base = _cfg(tmp_path)
+    data = dataclasses.replace(base.data, input_shape=(64, 64),
+                               aug_backend="pallas")
+    cfg_a = dataclasses.replace(base, data=data)
+    cfg_b = dataclasses.replace(
+        base, data=dataclasses.replace(data, aug_pre_batch=True))
+    model = T.build_model(cfg_a)
+    tx = T.make_optimizer(cfg_a)
+    state0 = T.create_state(cfg_a, jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.integers(0, 256, (2, 4, 64, 64, 3)), jnp.uint8)
+    labels = jnp.asarray(rng.integers(0, 5, (2, 4, 64, 64)), jnp.uint8)
+    lr, key = jnp.float32(1e-3), jax.random.PRNGKey(9)
+
+    s_a, m_a = T.make_train_step_scan(cfg_a, model, tx, frozen=False,
+                                      k=2)(state0, images, labels, lr, key)
+    s_b, m_b = T.make_train_step_scan(cfg_b, model, tx, frozen=False,
+                                      k=2)(state0, images, labels, lr, key)
+    np.testing.assert_allclose(np.asarray(m_b["loss"]),
+                               np.asarray(m_a["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_a.params),
+                    jax.tree_util.tree_leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(b, np.float32),
+                                   np.asarray(a, np.float32),
+                                   rtol=1e-6, atol=1e-6)
+
+    # einsum capacity slicing cannot represent the merged pattern
+    cfg_bad = dataclasses.replace(
+        base, data=dataclasses.replace(data, aug_backend="einsum",
+                                       aug_pre_batch=True))
+    with pytest.raises(ValueError, match="aug_pre_batch"):
+        T.make_train_step_scan(cfg_bad, model, tx, frozen=False, k=2)
+
+
 def test_train_step_scan_matches_sequential(tmp_path):
     """K steps scanned into one program (make_train_step_scan — amortizes
     the platform's fixed per-program cost) must produce the same state as
