@@ -136,6 +136,11 @@ def _supervise(argv):
         sys.stderr.write(res.stderr)
         lines = [ln for ln in res.stdout.splitlines()
                  if ln.startswith("{")]
+        # diagnostic/progress stdout lines are not the artifact — echo
+        # them to stderr so they survive supervision (ADVICE r4)
+        for ln in res.stdout.splitlines():
+            if not ln.startswith("{"):
+                print(ln, file=sys.stderr)
         if res.returncode == 0 and lines:
             print(lines[-1])
             return 0

@@ -328,7 +328,11 @@ def test_train_step_scan_matches_sequential(tmp_path):
     K sequential single-step calls with the same per-step keys."""
     from cervical_tpu.train import seg_trainer as T
 
-    cfg = _cfg(tmp_path)
+    # pinned to threefry dropout: the assertion below is a sensitive
+    # numeric-agreement gate and each PRNG impl lands different sign-flip
+    # populations; pinning keeps the original 0.99 sensitivity instead of
+    # loosening the threshold per-impl (ADVICE r4)
+    cfg = dataclasses.replace(_cfg(tmp_path), dropout_rng_impl="threefry")
     model = T.build_model(cfg)
     tx = T.make_optimizer(cfg)
     state0 = T.create_state(cfg, jax.random.PRNGKey(0))
@@ -370,11 +374,8 @@ def test_train_step_scan_matches_sequential(tmp_path):
         np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)).ravel()
         for a, b in zip(jax.tree_util.tree_leaves(s_scan.params),
                         jax.tree_util.tree_leaves(st.params))])
-    # threshold 0.985: the sign-flip population is seed-dependent — the
-    # rbg dropout default (config.dropout_rng_impl) landed this seed at
-    # 0.98999 agreement, a hair under the original 0.99
-    assert (diffs < 5e-5).mean() > 0.985, (diffs.max(),
-                                           (diffs >= 5e-5).mean())
+    assert (diffs < 5e-5).mean() > 0.99, (diffs.max(),
+                                          (diffs >= 5e-5).mean())
     assert diffs.max() < 5e-3, diffs.max()
 
 
