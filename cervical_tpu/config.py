@@ -137,6 +137,30 @@ class SegTrainConfig:
     # valid dropout (the reference's stream is torch's RNG — no parity
     # constraint ties dropout to threefry).
     dropout_rng_impl: str = "rbg"
+    # rematerialize the xception entry flow in the backward pass
+    # (models/backbones/xception.py::XceptionBackbone.remat_entry):
+    # entry:bwd is the train step's one memory-bound segment (round-4
+    # decomposition) — remat trades its activation traffic for ~4% extra
+    # FLOPs.  ABAB'd inside the full step (docs/PERF.md round 5).
+    remat_entry: bool = False
+    # feed training/eval from a device-resident copy of the dataset
+    # (data/resident.py): the reference train set is 6,720 x 512^2 x 3
+    # uint8 = 5.3 GB against 16 GB HBM, so it uploads ONCE and the
+    # scanned train step reads batches from device memory — on the
+    # target platform host uploads serialize with compute, costing the
+    # host-fed epoch loop ~half the step throughput (docs/PLATFORM.md
+    # round-2 epoch row; VERDICT r4 task #1).  Off by default: the
+    # host-loader path remains for datasets that don't fit.
+    device_resident: bool = False
+    # per-epoch reshuffle of the resident train set: "images" = full
+    # on-device permutation (one jitted permutation+take per epoch,
+    # measured at memory bandwidth — scripts/probe_resident_shuffle.py;
+    # transient 2x HBM peak on the array being permuted), "chunks" =
+    # host-side chunk-ORDER shuffle only (zero device work and zero
+    # extra memory, but batch composition is fixed across epochs —
+    # coarser than the reference's per-epoch reshuffle), "none" = fixed
+    # order (debug).
+    resident_shuffle: str = "images"
 
 
 @dataclass

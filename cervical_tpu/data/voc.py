@@ -208,6 +208,35 @@ class BatchLoader:
 # Synthetic dataset (tests / smoke training, SURVEY.md §4d)
 # ---------------------------------------------------------------------------
 
+class ArraySegDataset:
+    """In-memory VOCSegDataset-compatible wrapper over (N, H, W, 3)/(N, H, W)
+    uint8 arrays — the feed for device-resident training at scales where a
+    disk round-trip adds nothing (synthetic protocol runs, benchmarks).
+    Implements the loader/`ResidentSegData.from_dataset` surface
+    (``__len__``/``load``/``load_batch``); ``paths`` raises (no files)."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray):
+        if len(images) != len(labels):
+            raise ValueError("images/labels length mismatch")
+        self.images = np.asarray(images, np.uint8)
+        self.labels = np.asarray(labels, np.uint8)
+
+    def __len__(self):
+        return len(self.images)
+
+    def load(self, idx: int):
+        return self.images[idx], self.labels[idx]
+
+    def load_batch(self, idxs):
+        idxs = np.asarray(idxs)
+        return self.images[idxs], self.labels[idxs]
+
+    def paths(self, idx: int):
+        raise NotImplementedError(
+            "ArraySegDataset has no backing files (file-path consumers "
+            "like PredictorMiouCallback need a disk dataset)")
+
+
 def make_synthetic_voc(root: str, num_images: int = 16, size: int = 64,
                        num_classes: int = 5, seed: int = 0,
                        splits=(0.8, 0.1, 0.1)):

@@ -17,6 +17,7 @@ Rebuilds the reference's two metric stacks:
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -40,10 +41,39 @@ def confusion_matrix_jax(labels, preds, num_classes):
     Same semantics as :func:`fast_hist` (rows = ground truth, cols = pred;
     labels outside [0, num_classes) are dropped), but runs on TPU so per-batch
     eval never syncs to host.
+
+    Formulated as a ONE-HOT CONTRACTION — ``einsum(one_hot(label),
+    one_hot(pred))`` on the MXU — instead of a per-pixel ``.at[idx].add``
+    scatter: the target platform scalarizes per-element indexed access
+    (docs/PLATFORM.md item 5 — the round-4 loss-gather pathology; scatters
+    share the lowering).  Out-of-range labels one-hot to a zero row, which
+    drops the pixel exactly like ``fast_hist``'s mask.  Pixels are summed
+    in f32 segments of 2^22 (per-cell counts stay < 2^24, the f32 exact-
+    integer bound) and accumulated in int32 across segments.
     """
-    # int32 up-cast first: uint8 label/pred inputs (both augmentation fast
-    # backends emit uint8 class ids) would overflow the flat-index
-    # arithmetic below for num_classes >= 16
+    labels = labels.reshape(-1).astype(jnp.int32)
+    preds = preds.reshape(-1).astype(jnp.int32)
+    n = labels.shape[0]
+    seg = min(1 << 22, n)  # tiny inputs: one exact segment, no padding
+    pad = (-n) % seg
+    if pad:
+        # padded pixels get label = num_classes -> zero one-hot row
+        labels = jnp.concatenate(
+            [labels, jnp.full((pad,), num_classes, jnp.int32)])
+        preds = jnp.concatenate([preds, jnp.zeros((pad,), jnp.int32)])
+    s = labels.shape[0] // seg
+    lab1 = jax.nn.one_hot(labels.reshape(s, seg), num_classes,
+                          dtype=jnp.float32)
+    prd1 = jax.nn.one_hot(preds.reshape(s, seg), num_classes,
+                          dtype=jnp.float32)
+    hists = jnp.einsum("spc,spd->scd", lab1, prd1)
+    return hists.astype(jnp.int32).sum(axis=0)
+
+
+def confusion_matrix_scatter(labels, preds, num_classes):
+    """The scatter (``.at[idx].add``) formulation of
+    :func:`confusion_matrix_jax` — kept for the eval-path A/B bench
+    (scripts/bench_predict.py); identical output."""
     labels = labels.reshape(-1).astype(jnp.int32)
     preds = preds.reshape(-1).astype(jnp.int32)
     valid = (labels >= 0) & (labels < num_classes)

@@ -140,6 +140,14 @@ class XceptionBackbone(nn.Module):
     # (docs/PLATFORM.md).  Ignored during training/init (training BN needs
     # cross-batch stats between the fused ops).
     fused_middle: bool = False
+    # rematerialize the entry flow (blocks 1-3) in the backward pass:
+    # entry:bwd is the one memory-bound segment of the train step
+    # (17.5 GB/step, vs_floor 0.58 — docs/PERF.md round-4 decomposition);
+    # remat trades its large-spatial activation traffic for recompute
+    # FLOPs (the entry is only ~4% of the step's FLOPs).  Bit-identical
+    # gradients; ABAB'd inside the full step via scripts/bench_seg_step.py
+    # (VERDICT r4 task #6's traffic-halved-entry experiment).
+    remat_entry: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -163,11 +171,13 @@ class XceptionBackbone(nn.Module):
                          dtype=self.dtype, name="bn2")(x)
         x = nn.relu(x)
 
-        x, _ = XceptionBlock(128, 2, dtype=self.dtype, name="block1")(x, train)
-        x, low = XceptionBlock(256, stride_list[0], dtype=self.dtype,
-                               name="block2")(x, train)
-        x, _ = XceptionBlock(728, stride_list[1], dtype=self.dtype,
-                             name="block3")(x, train)
+        Blk = (nn.remat(XceptionBlock, static_argnums=(2,))
+               if self.remat_entry else XceptionBlock)
+        x, _ = Blk(128, 2, dtype=self.dtype, name="block1")(x, train)
+        x, low = Blk(256, stride_list[0], dtype=self.dtype,
+                     name="block2")(x, train)
+        x, _ = Blk(728, stride_list[1], dtype=self.dtype,
+                   name="block3")(x, train)
         if self.fused_middle and not train and not self.is_initializing():
             from cervical_tpu.ops.pallas_xception import (fold_middle_flow,
                                                           middle_flow_eval)

@@ -97,6 +97,9 @@ class DeepLab(nn.Module):
     # eval-mode fused pallas middle flow (xception only; see
     # XceptionBackbone.fused_middle / ops/pallas_xception.py)
     fused_middle: bool = False
+    # rematerialized entry flow (xception only; see
+    # XceptionBackbone.remat_entry — the memory-bound entry:bwd experiment)
+    remat_entry: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, freeze_backbone: bool = False,
@@ -111,11 +114,15 @@ class DeepLab(nn.Module):
             low, deep = XceptionBackbone(self.downsample_factor,
                                          dtype=self.dtype,
                                          fused_middle=self.fused_middle,
+                                         remat_entry=self.remat_entry,
                                          name="backbone")(x, train)
         elif self.backbone == "mobilenet":
             if self.fused_middle:
                 raise ValueError(
                     "fused_middle is an xception-only fast path")
+            if self.remat_entry:
+                raise ValueError(
+                    "remat_entry is an xception-only knob")
             low, deep = MobileNetV2Backbone(self.downsample_factor,
                                             dtype=self.dtype, name="backbone")(x, train)
         else:

@@ -1,15 +1,24 @@
-"""Epoch-loop pipelining A/B: per-step metric fetch vs windowed fetch.
+"""Epoch-level train throughput: host-fed loader vs device-resident data.
 
-``SegTrainer.run_epoch`` keeps up to ``cfg.pipeline_depth`` steps in flight
-before fetching the oldest step's metrics; the per-call dispatch round-trip
-on this platform is ~30-70 ms (docs/PLATFORM.md), so a depth-1 loop (the
-torch ``.item()``-per-step pattern, utils_fit.py:117-121) serializes that
-cost into every step.  This measures whole epochs over an in-memory loader
-— same compiled step, ABAB-interleaved depths, fresh PRNG-derived batches
-each epoch (tunnel result-cache rule).
+The round-2 measurement (docs/PLATFORM.md) showed the full ``run_epoch``
+loop delivering ~half the pure-compute step rate — host uploads serialize
+with compute on this platform.  Round 5 adds the device-resident path
+(data/resident.py: dataset lives in HBM, per-epoch on-device shuffle,
+scan programs read chunks by index), which removes the per-step upload
+entirely.  This script ABAB-compares, in ONE process (fresh-process
+warm-up rule, docs/PLATFORM.md item 9):
+
+  host@K   full run_epoch over an in-memory host loader (upload per step)
+  res@K    full run_epoch over ResidentSegData (includes the per-epoch
+           on-device image shuffle)
+  resc@K   resident with chunk-order shuffle only (no device shuffle)
+  pure@K   compute-only bound: pre-uploaded stacked groups, direct
+           scan_fn calls, no loader/upload/eval
 
 Usage: PYTHONPATH=/root/.axon_site:/root/repo \
-    python scripts/bench_seg_epoch.py [depth ...]   (default: 1 8 1 8)
+    python scripts/bench_seg_epoch.py [--backbone=xception] [--nb=40] \
+        [--size=512] [--batch=8] [spec ...]
+Default specs: host@8 res@8 host@8 res@8 pure@8
 """
 
 import json
@@ -37,16 +46,27 @@ class _ArrayLoader:
 
 def main():
     from cervical_tpu.config import SegTrainConfig, SegDataConfig
+    from cervical_tpu.data.resident import ResidentSegData
     from cervical_tpu.train.seg_trainer import SegTrainer
 
-    # arg "8@4" = pipeline_depth 8, steps_per_call 4 (K-step scan);
-    # "pure@4" = compute-only bound: pre-uploaded stacked groups, direct
-    # scan_fn calls, no loader/upload/eval — isolates pipeline overhead
+    backbone, nb, size, batch = "xception", 40, 512, 8
     specs = []
-    for a in (sys.argv[1:] or ["1", "8", "1", "8"]):
-        d, _, k = a.partition("@")
-        specs.append((d if d == "pure" else int(d), int(k) if k else 1))
-    batch, nb, size = 8, 12, 512
+    for a in sys.argv[1:]:
+        if a.startswith("--backbone="):
+            backbone = a.split("=", 1)[1]
+        elif a.startswith("--nb="):
+            nb = int(a.split("=", 1)[1])
+        elif a.startswith("--size="):
+            size = int(a.split("=", 1)[1])
+        elif a.startswith("--batch="):
+            batch = int(a.split("=", 1)[1])
+        else:
+            mode, _, k = a.partition("@")
+            specs.append((mode, int(k) if k else 8))
+    if not specs:
+        specs = [("host", 8), ("res", 8), ("host", 8), ("res", 8),
+                 ("pure", 8)]
+
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 256, (batch * nb, size, size, 3)).astype(np.uint8)
     lbls = rng.integers(0, 5, (batch * nb, size, size)).astype(np.uint8)
@@ -56,9 +76,20 @@ def main():
 
     cfg = SegTrainConfig(data=SegDataConfig(input_shape=(size, size),
                                             num_classes=5),
-                         backbone="mobilenet", unfreeze_batch_size=batch)
+                         backbone=backbone, unfreeze_batch_size=batch)
     trainer = SegTrainer(cfg)
-    trainer.run_epoch(train, val, 0, frozen=False, lr=1e-4)  # compile+warm
+    n_img = batch * nb
+
+    resident = {}
+
+    def get_resident(shuffle_mode):
+        if "train" not in resident:
+            resident["train"] = ResidentSegData.from_arrays(
+                imgs, lbls, batch, trainer.mesh, train=True)
+            resident["val"] = ResidentSegData.from_arrays(
+                imgs[:batch], lbls[:batch], batch, trainer.mesh,
+                train=False)
+        return resident["train"], resident["val"]
 
     def pure_epoch(k, seed):
         from cervical_tpu.parallel import shard_batch
@@ -83,24 +114,46 @@ def main():
         loss = float(np.mean([np.asarray(m["loss"]).mean() for m in ms]))
         return time.perf_counter() - t0, loss
 
-    for i, (depth, k) in enumerate(specs):
-        if depth == "pure":
-            dt, loss = pure_epoch(k, i + 1)
-            print(json.dumps({"depth": "pure", "steps_per_call": k,
-                              "epoch_s": round(dt, 3),
-                              "train_img_per_s": round(batch * nb / dt, 1),
-                              "loss": round(loss, 4)}), flush=True)
-            continue
-        trainer.cfg.pipeline_depth = depth
+    warmed = set()
+    for i, (mode, k) in enumerate(specs):
+        trainer.cfg.pipeline_depth = 8
         trainer.cfg.steps_per_call = k
-        # advance trainer.rng per epoch -> unique aug params, no replay
-        t0 = time.perf_counter()
-        res = trainer.run_epoch(train, val, i + 1, frozen=False, lr=1e-4)
-        dt = time.perf_counter() - t0
-        print(json.dumps({"depth": depth, "steps_per_call": k,
-                          "epoch_s": round(dt, 3),
-                          "train_img_per_s": round(batch * nb / dt, 1),
-                          "loss": round(res.train_loss, 4)}), flush=True)
+        if mode == "pure":
+            if ("pure", k) not in warmed:
+                pure_epoch(k, 999)  # compile+warm
+                warmed.add(("pure", k))
+            dt, loss = pure_epoch(k, i + 1)
+            row = {"mode": "pure", "steps_per_call": k}
+        elif mode == "host":
+            if ("host", k) not in warmed:
+                trainer.run_epoch(train, val, 0, frozen=False, lr=1e-4)
+                warmed.add(("host", k))
+            t0 = time.perf_counter()
+            res = trainer.run_epoch(train, val, i + 1, frozen=False,
+                                    lr=1e-4)
+            dt, loss = time.perf_counter() - t0, res.train_loss
+            row = {"mode": "host", "steps_per_call": k}
+        elif mode in ("res", "resc"):
+            trainer.cfg.resident_shuffle = ("images" if mode == "res"
+                                            else "chunks")
+            train_rs, val_rs = get_resident(trainer.cfg.resident_shuffle)
+            if (mode, k) not in warmed:
+                trainer.run_epoch(train_rs, val_rs, 0, frozen=False,
+                                  lr=1e-4)
+                warmed.add((mode, k))
+            t0 = time.perf_counter()
+            res = trainer.run_epoch(train_rs, val_rs, i + 1, frozen=False,
+                                    lr=1e-4)
+            dt, loss = time.perf_counter() - t0, res.train_loss
+            row = {"mode": mode, "steps_per_call": k,
+                   "shuffle": trainer.cfg.resident_shuffle}
+        else:
+            raise SystemExit(f"unknown mode {mode!r}")
+        row.update(backbone=backbone, batch=batch, n_images=n_img,
+                   epoch_s=round(dt, 3),
+                   train_img_per_s=round(n_img / dt, 1),
+                   loss=round(float(loss), 4))
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

@@ -48,6 +48,13 @@ def bench(backend: str, backbone="mobilenet", batch=8, size=512, iters=8, warmup
         # lax convs + rbg dropout-mask PRNG (SegTrainConfig.
         # dropout_rng_impl; ABAB against "lax" = threefry dropout)
         C.set_default_backend("lax")
+    elif backend == "rematentry":
+        # production defaults + rematerialized entry flow
+        # (SegTrainConfig.remat_entry): trades entry:bwd's activation
+        # traffic — the one memory-bound segment of the round-4
+        # decomposition — for ~4% recompute FLOPs.  ABAB against
+        # "rbgdrop" (identical otherwise); VERDICT r4 task #6.
+        C.set_default_backend("lax")
     elif backend in ("augpallasr", "prebatch"):
         # production-default rbg dropout + pallas aug; "prebatch"
         # additionally augments all K sub-batches as one (K*B) batch
@@ -64,9 +71,10 @@ def bench(backend: str, backbone="mobilenet", batch=8, size=512, iters=8, warmup
                                                            "prebatch")),
                          backbone=backbone, unfreeze_batch_size=batch,
                          head_conv_backend=head,
+                         remat_entry=(backend == "rematentry"),
                          dropout_rng_impl=(
                              "rbg" if backend in ("rbgdrop", "augpallasr",
-                                                  "prebatch")
+                                                  "prebatch", "rematentry")
                              else "threefry"))
     state = T.create_state(cfg, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
