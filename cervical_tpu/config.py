@@ -152,15 +152,22 @@ class SegTrainConfig:
     # round-2 epoch row; VERDICT r4 task #1).  Off by default: the
     # host-loader path remains for datasets that don't fit.
     device_resident: bool = False
-    # per-epoch reshuffle of the resident train set: "images" = full
-    # on-device permutation (one jitted permutation+take per epoch,
-    # measured at memory bandwidth — scripts/probe_resident_shuffle.py;
-    # transient 2x HBM peak on the array being permuted), "chunks" =
-    # host-side chunk-ORDER shuffle only (zero device work and zero
-    # extra memory, but batch composition is fixed across epochs —
-    # coarser than the reference's per-epoch reshuffle), "none" = fixed
-    # order (debug).
-    resident_shuffle: str = "images"
+    # per-epoch reshuffle of the resident train set:
+    # "gather" (default) = image-level reshuffle with ZERO extra HBM:
+    #   the scanned train step gathers each batch's rows from the
+    #   resident set by a host-permuted (K,B) index — batch-axis gathers
+    #   vectorize on the target platform (docs/PLATFORM.md round-5 row;
+    #   ~6 MB of extra reads per step);
+    # "images" = full on-device permutation (one donated
+    #   permutation+take program per epoch) — same statistics, but the
+    #   transient peak is ~2x the image set (at the 7 GB reference scale
+    #   this OOMed the 16 GB chip once eval/predictor programs were also
+    #   resident); use when HBM is plentiful or the flat gather's
+    #   reshape is awkward for a sharded layout;
+    # "chunks" = host-side chunk-ORDER shuffle only (batch composition
+    #   fixed across epochs — coarser than the reference's sampler);
+    # "none" = fixed order (debug).
+    resident_shuffle: str = "gather"
 
 
 @dataclass

@@ -471,19 +471,30 @@ def make_eval_step(cfg: SegTrainConfig, model: DeepLab):
 
 
 def make_train_step_scan_resident(cfg: SegTrainConfig, model: DeepLab, tx,
-                                  frozen: bool, k: int):
+                                  frozen: bool, k: int,
+                                  gather: bool = False):
     """K train steps per program reading batches FROM DEVICE MEMORY.
 
     Signature: jit(state, images (C,B,H,W,3) u8, labels (C,B,H,W) u8,
-    idx (K,) int32, lr, rng) -> (state, metrics(K,)).  The scan body
-    fetches chunk ``idx[i]`` with ``dynamic_index_in_dim`` — a pure
-    slice on the unsharded chunk axis (the batch axis stays sharded over
-    'data'), measured at the platform's memory floor
-    (scripts/probe_resident_shuffle.py probe B).  Together with
+    idx, lr, rng) -> (state, metrics(K,)).  Together with
     :class:`cervical_tpu.data.resident.ResidentSegData` this removes the
     per-step host->device upload entirely (VERDICT r4 task #1: the
     round-2 epoch row lost ~half the step throughput to the host link).
-    """
+
+    ``gather=False``: ``idx`` is (K,) chunk indices; the body fetches
+    chunk ``idx[i]`` with ``dynamic_index_in_dim`` — a pure slice on the
+    unsharded chunk axis (the batch axis stays sharded over 'data'),
+    measured at the platform's memory floor
+    (scripts/probe_resident_shuffle.py probe B).
+
+    ``gather=True`` (the ``resident_shuffle="gather"`` epoch mode):
+    ``idx`` is (K, B) IMAGE indices into the flattened set; the body
+    gathers its batch rows directly — a batch-axis gather, which this
+    platform vectorizes (~134 GB/s, probe A), ~6 MB of reads per step.
+    This gives image-level per-epoch reshuffling with ZERO extra HBM
+    (the full-permute "images" mode transiently needs ~2x the image set,
+    which at the 7 GB reference scale collided with the eval/predictor
+    allocations on the 16 GB chip — the round-5 protocol OOM)."""
     _check_aug_cfg(cfg)
     if cfg.data.aug_pre_batch:
         raise ValueError("aug_pre_batch is not supported on the resident "
@@ -493,14 +504,24 @@ def make_train_step_scan_resident(cfg: SegTrainConfig, model: DeepLab, tx,
     @jax.jit
     def scan_step(state: TrainState, images_c, labels_c, idx, lr, rng):
         keys = jax.random.split(rng, k)
+        if gather:
+            n = images_c.shape[0] * images_c.shape[1]
+            flat_im = images_c.reshape((n,) + images_c.shape[2:])
+            flat_lb = labels_c.reshape((n,) + labels_c.shape[2:])
 
-        def f(st, xs):
-            i, ky = xs
-            im = jax.lax.dynamic_index_in_dim(images_c, i, 0,
-                                              keepdims=False)
-            lb = jax.lax.dynamic_index_in_dim(labels_c, i, 0,
-                                              keepdims=False)
-            return body(st, im, lb, None, lr, ky)
+            def f(st, xs):
+                rows, ky = xs
+                im = jnp.take(flat_im, rows, axis=0)
+                lb = jnp.take(flat_lb, rows, axis=0)
+                return body(st, im, lb, None, lr, ky)
+        else:
+            def f(st, xs):
+                i, ky = xs
+                im = jax.lax.dynamic_index_in_dim(images_c, i, 0,
+                                                  keepdims=False)
+                lb = jax.lax.dynamic_index_in_dim(labels_c, i, 0,
+                                                  keepdims=False)
+                return body(st, im, lb, None, lr, ky)
 
         return jax.lax.scan(f, state, (idx, keys))
 
@@ -580,11 +601,12 @@ class SegTrainer:
                                                     self.tx, frozen, k)
         return self._steps[key]
 
-    def _train_step_scan_resident(self, frozen: bool, k: int):
-        key = ("scanres", frozen, k)
+    def _train_step_scan_resident(self, frozen: bool, k: int,
+                                  gather: bool = False):
+        key = ("scanres", frozen, k, gather)
         if key not in self._steps:
             self._steps[key] = make_train_step_scan_resident(
-                self.cfg, self.model, self.tx, frozen, k)
+                self.cfg, self.model, self.tx, frozen, k, gather=gather)
         return self._steps[key]
 
     def _eval_step_scan_resident(self, k: int):
@@ -635,8 +657,23 @@ class SegTrainer:
         cfg = self.cfg
         k = max(1, cfg.steps_per_call)
         c = train_rs.num_chunks
+        b = train_rs.batch_size
         mode = cfg.resident_shuffle
-        if mode == "images":
+        gather = mode == "gather"
+        if gather:
+            # image-level reshuffle with ZERO extra HBM: the scan body
+            # gathers its rows from the resident set by permuted index
+            # (batch-axis gathers vectorize on this platform —
+            # docs/PLATFORM.md round-5 row).  Host-side deterministic
+            # permutation stream, like the reference's sampler.
+            rows = np.random.default_rng(
+                cfg.seed * 1_000_003 + epoch).permutation(c * b)
+            rows = rows.astype(np.int32).reshape(c, b)
+            order = np.arange(c)
+        elif mode == "images":
+            # full on-device permutation: one donated permutation+take
+            # program, but the transient peak is ~2x the image set —
+            # prefer "gather" unless HBM is plentiful
             self.rng, sk = jax.random.split(self.rng)
             train_rs.shuffle_(sk)
             order = np.arange(c)
@@ -664,8 +701,11 @@ class SegTrainer:
         pos = 0
         while pos < c:
             kk = min(k, c - pos)  # ragged tail: a shorter scan program
-            fn = self._train_step_scan_resident(frozen, kk)
-            idx = jnp.asarray(order[pos:pos + kk], jnp.int32)
+            fn = self._train_step_scan_resident(frozen, kk, gather=gather)
+            if gather:
+                idx = jnp.asarray(rows[pos:pos + kk])
+            else:
+                idx = jnp.asarray(order[pos:pos + kk], jnp.int32)
             self.rng, dk = jax.random.split(self.rng)
             self.state, m = fn(self.state, train_rs.images,
                                train_rs.labels, idx, jnp.asarray(lr), dk)

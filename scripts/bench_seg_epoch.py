@@ -9,8 +9,10 @@ entirely.  This script ABAB-compares, in ONE process (fresh-process
 warm-up rule, docs/PLATFORM.md item 9):
 
   host@K   full run_epoch over an in-memory host loader (upload per step)
-  res@K    full run_epoch over ResidentSegData (includes the per-epoch
-           on-device image shuffle)
+  res@K    full run_epoch over ResidentSegData (per-epoch on-device
+           full-permute image shuffle — 2x transient HBM)
+  resg@K   resident with GATHER-mode shuffle (scan body fetches rows by
+           permuted index; zero extra HBM — the production default)
   resc@K   resident with chunk-order shuffle only (no device shuffle)
   pure@K   compute-only bound: pre-uploaded stacked groups, direct
            scan_fn calls, no loader/upload/eval
@@ -133,9 +135,10 @@ def main():
                                     lr=1e-4)
             dt, loss = time.perf_counter() - t0, res.train_loss
             row = {"mode": "host", "steps_per_call": k}
-        elif mode in ("res", "resc"):
-            trainer.cfg.resident_shuffle = ("images" if mode == "res"
-                                            else "chunks")
+        elif mode in ("res", "resc", "resg"):
+            trainer.cfg.resident_shuffle = {"res": "images",
+                                            "resc": "chunks",
+                                            "resg": "gather"}[mode]
             train_rs, val_rs = get_resident(trainer.cfg.resident_shuffle)
             if (mode, k) not in warmed:
                 trainer.run_epoch(train_rs, val_rs, 0, frozen=False,

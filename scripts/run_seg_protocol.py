@@ -86,13 +86,14 @@ def main():
     ap.add_argument("--save_dir", default="logs_protocol")
     ap.add_argument("--epochs", type=int, default=220,
                     help="total epochs (20 frozen + the rest unfrozen)")
+    ap.add_argument("--freeze_epoch", type=int, default=20)
     ap.add_argument("--train_n", type=int, default=6720)
     ap.add_argument("--val_n", type=int, default=840)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--backbone", default="xception")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--no_predictor", action="store_true")
-    ap.add_argument("--resident_shuffle", default="images")
+    ap.add_argument("--resident_shuffle", default="gather")
     ap.add_argument("--val_dir", default=None,
                     help="reuse an existing on-disk val set")
     args = ap.parse_args()
@@ -140,7 +141,8 @@ def main():
         data=SegDataConfig(input_shape=(args.size, args.size),
                            num_classes=5),
         backbone=args.backbone,
-        freeze_train=True, freeze_epoch=20, unfreeze_epoch=args.epochs,
+        freeze_train=True, freeze_epoch=args.freeze_epoch,
+        unfreeze_epoch=args.epochs,
         freeze_batch_size=16, unfreeze_batch_size=8,
         eval_period=10, save_period=10,
         predictor_eval=not args.no_predictor,

@@ -147,6 +147,70 @@ def test_resident_epoch_matches_host_loader(voc_root, tmp_path):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_resident_gather_scan_matches_chunk_scan(voc_root, tmp_path):
+    """The gather-mode scan (rows fetched by (K,B) image indices — the
+    zero-extra-HBM shuffle) must reproduce the chunk-index scan bitwise
+    when the indices spell out the same batches."""
+    from cervical_tpu.train import seg_trainer as T
+
+    cfg = _cfg(tmp_path)
+    ids = read_split(voc_root, "train")
+    ds = VOCSegDataset(voc_root, ids, stage_hw=(48, 48))
+    trainer = SegTrainer(cfg)
+    rs = ResidentSegData.from_dataset(ds, 4, trainer.mesh, train=True)
+    k, b = 2, 4
+    lr = jnp.float32(1e-3)
+    key = jax.random.PRNGKey(5)
+
+    chunk_fn = trainer._train_step_scan_resident(frozen=False, k=k)
+    s1, m1 = chunk_fn(trainer.state, rs.images, rs.labels,
+                      jnp.arange(k, dtype=jnp.int32), lr, key)
+
+    gather_fn = trainer._train_step_scan_resident(frozen=False, k=k,
+                                                  gather=True)
+    rows = jnp.arange(k * b, dtype=jnp.int32).reshape(k, b)
+    s2, m2 = gather_fn(trainer.state, rs.images, rs.labels, rows, lr, key)
+
+    np.testing.assert_array_equal(np.asarray(m1["loss"]),
+                                  np.asarray(m2["loss"]))
+    for a, c in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_resident_gather_epoch_covers_every_image(voc_root, tmp_path):
+    """gather-mode run_epoch consumes a PERMUTATION of image indices:
+    every image exactly once per epoch, deterministic per (seed, epoch)."""
+    cfg = _cfg(tmp_path, resident_shuffle="gather")
+    ids = read_split(voc_root, "train")
+    ds = VOCSegDataset(voc_root, ids, stage_hw=(48, 48))
+    trainer = SegTrainer(cfg)
+    rs = ResidentSegData.from_dataset(ds, 4, trainer.mesh, train=True)
+    val_rs = ResidentSegData.from_dataset(ds, 8, trainer.mesh, train=False)
+    seen = []
+    fn_cache = trainer._train_step_scan_resident
+
+    def spy(frozen, k, gather=False):
+        inner = fn_cache(frozen, k, gather=gather)
+
+        def wrapped(state, im, lb, idx, lr, rng):
+            if gather:
+                seen.append(np.asarray(idx).ravel())
+            return inner(state, im, lb, idx, lr, rng)
+
+        return wrapped
+
+    trainer._train_step_scan_resident = spy
+    res = trainer.run_epoch_resident(rs, val_rs, epoch=3, frozen=False,
+                                     lr=1e-3)
+    assert np.isfinite(res.train_loss)
+    flat = np.concatenate(seen)
+    assert sorted(flat.tolist()) == list(range(rs.n))
+    expect = np.random.default_rng(
+        cfg.seed * 1_000_003 + 3).permutation(rs.n)
+    np.testing.assert_array_equal(flat, expect.astype(np.int32))
+
+
 def test_resident_evaluate_miou_matches_host(voc_root, tmp_path):
     """Confusion counts are integers: resident vs host eval must agree
     EXACTLY (padded rows carry weight 0 on both paths)."""
