@@ -6,26 +6,35 @@ with compute (docs/PLATFORM.md round-2 epoch row: full ``run_epoch``
 measured ~half the pure-compute step rate).  The reference train set is
 small for a TPU — 6,720 x 512^2 x 3 uint8 ≈ 5.3 GB against 16 GB HBM —
 so the TPU-native design uploads it ONCE and feeds the scanned train
-step from device memory:
+step from device memory.
 
-* canonical layout is **chunked** ``(C, B, H, W, 3)`` uint8 with the
-  batch axis (axis 1) sharded over the mesh ``data`` axis: every
-  training batch is already in its final sharded layout, and the scan
-  body reads chunk ``i`` with ``lax.dynamic_index_in_dim`` — a pure
-  slice on an unsharded axis, zero cross-device communication and zero
-  gathers (this platform scalarizes gathers — docs/PLATFORM.md item 5);
-* the per-epoch reshuffle runs **on device** as one jitted program
-  (flatten -> ``jax.random.permutation`` -> ``take`` along the image
-  axis -> rechunk), with inputs donated so the transient peak is
-  in+out for one array at a time;
-* eval sets keep ragged tails via repeat-padding plus a (C, B) 0/1
-  weight array — the same exactness contract as
-  ``pipeline.host_local_batches(with_weights=True)``.
+Canonical layout is **flat** ``(N, H, W, 3)`` uint8 (round 5 revision:
+the first chunked ``(C, B, ...)`` layout forced gather-mode programs to
+re-flatten the whole set INSIDE every program call, which XLA
+materialized as a ~7 GB copy per call at reference scale).  Flat, all
+three read modes are cheap:
 
-``probe_resident_shuffle.py`` measures both the shuffle and the chunk
-read path on the real chip; ``SegTrainConfig.resident_shuffle`` selects
-image-level device shuffle, host-side chunk-order shuffle (no device
-work, coarser randomness), or none.
+* chunk reads: ``lax.dynamic_slice_in_dim(flat, i*B, B)`` — a pure
+  slice, measured at the elementwise floor
+  (scripts/probe_resident_shuffle.py probe B);
+* gather-mode shuffle reads: ``jnp.take(flat, rows, axis=0)`` on (B,)
+  permuted row indices — batch-axis gathers vectorize on this platform
+  (probe A, ~134 GB/s), ~6 MB extra reads per step, ZERO extra HBM;
+* the optional full on-device permute ("images" mode) is one donated
+  permutation+take program (transient ~2x peak on the permuted array).
+
+Batch size is metadata (``batch_size`` field), so the freeze->unfreeze
+rechunk is free.  Eval sets keep ragged tails via repeat-padding plus an
+(N,) 0/1 weight vector — the same exactness contract as
+``pipeline.host_local_batches(with_weights=True)``.
+
+Sharding: the image axis is sharded over the mesh 'data' axis when it
+divides (device_put rejects uneven shardings; replicated otherwise).
+Note for multi-device DP: a contiguous batch slice of a block-sharded
+image axis lives on one shard and is redistributed by XLA — correct,
+exercised by the virtual-mesh tests and the dryrun, but the measured
+production target of this path is the single chip; multi-host training
+feeds per-host shards through the host pipeline instead.
 """
 
 from __future__ import annotations
@@ -39,22 +48,22 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
-def _chunk_sharding(mesh, ndim, batch_size):
-    """(C, B, ...) with the batch axis sharded over 'data' — replicated
-    when the batch doesn't divide the data axis (shard_batch's
-    correctness-over-placement fallback; device_put rejects uneven
-    shardings)."""
-    if batch_size % mesh.shape["data"] == 0:
-        return NamedSharding(mesh, P(None, "data", *([None] * (ndim - 2))))
+def _flat_sharding(mesh, ndim, n):
+    """(N, ...) with the image axis sharded over 'data' when divisible,
+    replicated otherwise (shard_batch's correctness-over-placement
+    fallback)."""
+    if n % mesh.shape["data"] == 0:
+        return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
     return NamedSharding(mesh, P())
 
 
 @dataclasses.dataclass
 class ResidentSegData:
-    """Chunked device-resident segmentation data.
+    """Flat device-resident segmentation data.
 
-    ``images``: (C, B, H, W, 3) uint8, ``labels``: (C, B, H, W) uint8,
-    ``weights``: (C, B) float32 validity (eval sets; None for train).
+    ``images``: (N, H, W, 3) uint8, ``labels``: (N, H, W) uint8,
+    ``weights``: (N,) float32 validity (eval sets; None for train).
+    ``batch_size``: how the trainer reads it (metadata only).
     ``n``: number of REAL images (before padding / after tail drop).
 
     Mutable on purpose: :meth:`shuffle_` DONATES the previous epoch's
@@ -66,16 +75,13 @@ class ResidentSegData:
     images: jax.Array
     labels: jax.Array
     weights: Optional[jax.Array]
+    batch_size: int
     n: int
     mesh: object = dataclasses.field(repr=False)
 
     @property
     def num_chunks(self) -> int:
-        return self.images.shape[0]
-
-    @property
-    def batch_size(self) -> int:
-        return self.images.shape[1]
+        return self.images.shape[0] // self.batch_size
 
     def __len__(self):  # loader-compatible: number of batches
         return self.num_chunks
@@ -88,7 +94,7 @@ class ResidentSegData:
 
         ``train=True`` drops the ragged tail (BatchLoader ``drop_last``
         semantics — static shapes); ``train=False`` repeat-pads the tail
-        to a full chunk and carries a 0/1 weight per row so eval metrics
+        to a full batch and carries a 0/1 weight per row so eval metrics
         stay exact (``pipeline.host_local_batches`` contract).
         """
         images = np.asarray(images)
@@ -113,16 +119,15 @@ class ResidentSegData:
                     [labels, np.repeat(labels[-1:], pad, axis=0)])
             weights = np.ones(n + pad, np.float32)
             weights[n:] = 0.0
-            c = len(images) // batch_size
+
         def put(x):
-            x = x.reshape((c, batch_size) + x.shape[1:])
-            return jax.device_put(x, _chunk_sharding(mesh, x.ndim,
-                                                     batch_size))
+            return jax.device_put(
+                x, _flat_sharding(mesh, x.ndim, len(x)))
 
         dev_images = put(images)
         dev_labels = put(labels)
         dev_weights = put(weights) if weights is not None else None
-        return cls(dev_images, dev_labels, dev_weights, n, mesh)
+        return cls(dev_images, dev_labels, dev_weights, batch_size, n, mesh)
 
     @classmethod
     def from_dataset(cls, dataset, batch_size: int, mesh,
@@ -144,40 +149,24 @@ class ResidentSegData:
         return cls.from_arrays(images, labels, batch_size, mesh, train=train)
 
     def rechunk(self, batch_size: int) -> "ResidentSegData":
-        """Re-chunk to a new batch size (freeze->unfreeze transition,
-        train.py:531-570) — a jitted reshape, no host round-trip.
-
-        Only full-chunk-preserving rechunks are supported (the padded
-        eval tail and the train drop-last boundary must not move):
-        C*B must be divisible by the new batch size."""
-        total = self.num_chunks * self.batch_size
+        """Change the read batch size (freeze->unfreeze transition,
+        train.py:531-570) — pure metadata on the flat layout, no device
+        work.  The stored image count must stay full-batch coverable
+        (the padded eval tail / train drop-last boundary must not move):
+        len must be divisible by the new batch size."""
+        total = len(self.images)
         if total % batch_size:
-            raise ValueError(f"cannot rechunk {self.num_chunks}x"
-                             f"{self.batch_size} to batch {batch_size}")
-        if batch_size == self.batch_size:
-            return self
-        # padded eval rows sit at the very end, so a full-coverage rechunk
-        # keeps them at the end; weights rechunk alongside the data
-        c2 = total // batch_size
-
-        def reshape(x):
-            if x is None:
-                return None
-            flat = x.reshape((total,) + x.shape[2:])
-            out = flat.reshape((c2, batch_size) + x.shape[2:])
-            return jax.lax.with_sharding_constraint(
-                out, _chunk_sharding(self.mesh, out.ndim, batch_size))
-
-        f = jax.jit(lambda im, lb, w: (reshape(im), reshape(lb),
-                                       reshape(w)))
-        im, lb, w = f(self.images, self.labels, self.weights)
-        return dataclasses.replace(self, images=im, labels=lb, weights=w)
+            raise ValueError(f"cannot rechunk {total} resident images "
+                             f"to batch {batch_size}")
+        return dataclasses.replace(self, batch_size=batch_size)
 
     def shuffle_(self, key) -> "ResidentSegData":
-        """Image-level on-device reshuffle IN PLACE: one program/epoch.
+        """Image-level on-device reshuffle IN PLACE: one program/epoch
+        (``resident_shuffle="images"``; the zero-extra-memory default is
+        the trainer's gather mode, which needs no data motion at all).
 
         ``permutation`` + ``take`` along the image axis (batch-axis
-        gather — measured at memory bandwidth on the target platform by
+        gather — measured at memory bandwidth by
         ``scripts/probe_resident_shuffle.py``, unlike the spatial/class
         gathers that scalarize).  Inputs are donated: the old epoch's
         arrays are freed as the new ones materialize, so the transient
@@ -201,16 +190,14 @@ def _get_permute(im_shape, lb_shape, mesh):
     cache_key = (im_shape, lb_shape, mesh)
     fn = _PERMUTE_CACHE.get(cache_key)
     if fn is None:
-        c, b = im_shape[0], im_shape[1]
-        shard_im = _chunk_sharding(mesh, len(im_shape), b)
-        shard_lb = _chunk_sharding(mesh, len(lb_shape), b)
+        n = im_shape[0]
+        shard_im = _flat_sharding(mesh, len(im_shape), n)
+        shard_lb = _flat_sharding(mesh, len(lb_shape), n)
 
         def permute(im, lb, k):
-            perm = jax.random.permutation(k, c * b)
-            flat_im = im.reshape((c * b,) + im.shape[2:])
-            flat_lb = lb.reshape((c * b,) + lb.shape[2:])
-            im_p = jnp.take(flat_im, perm, axis=0).reshape(im.shape)
-            lb_p = jnp.take(flat_lb, perm, axis=0).reshape(lb.shape)
+            perm = jax.random.permutation(k, n)
+            im_p = jnp.take(im, perm, axis=0)
+            lb_p = jnp.take(lb, perm, axis=0)
             return (jax.lax.with_sharding_constraint(im_p, shard_im),
                     jax.lax.with_sharding_constraint(lb_p, shard_lb))
 

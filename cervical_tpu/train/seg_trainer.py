@@ -471,30 +471,33 @@ def make_eval_step(cfg: SegTrainConfig, model: DeepLab):
 
 
 def make_train_step_scan_resident(cfg: SegTrainConfig, model: DeepLab, tx,
-                                  frozen: bool, k: int,
+                                  frozen: bool, k: int, batch: int,
                                   gather: bool = False):
     """K train steps per program reading batches FROM DEVICE MEMORY.
 
-    Signature: jit(state, images (C,B,H,W,3) u8, labels (C,B,H,W) u8,
+    Signature: jit(state, images (N,H,W,3) u8, labels (N,H,W) u8,
     idx, lr, rng) -> (state, metrics(K,)).  Together with
-    :class:`cervical_tpu.data.resident.ResidentSegData` this removes the
-    per-step host->device upload entirely (VERDICT r4 task #1: the
-    round-2 epoch row lost ~half the step throughput to the host link).
+    :class:`cervical_tpu.data.resident.ResidentSegData` (flat layout)
+    this removes the per-step host->device upload entirely (VERDICT r4
+    task #1: the round-2 epoch row lost ~half the step throughput to
+    the host link).
 
-    ``gather=False``: ``idx`` is (K,) chunk indices; the body fetches
-    chunk ``idx[i]`` with ``dynamic_index_in_dim`` — a pure slice on the
-    unsharded chunk axis (the batch axis stays sharded over 'data'),
-    measured at the platform's memory floor
-    (scripts/probe_resident_shuffle.py probe B).
+    ``gather=False``: ``idx`` is (K,) batch indices; the body slices
+    rows ``[idx[i]*batch, idx[i]*batch + batch)`` with
+    ``dynamic_slice_in_dim`` — a pure slice, measured at the platform's
+    memory floor (scripts/probe_resident_shuffle.py probe B).
 
     ``gather=True`` (the ``resident_shuffle="gather"`` epoch mode):
-    ``idx`` is (K, B) IMAGE indices into the flattened set; the body
-    gathers its batch rows directly — a batch-axis gather, which this
-    platform vectorizes (~134 GB/s, probe A), ~6 MB of reads per step.
-    This gives image-level per-epoch reshuffling with ZERO extra HBM
-    (the full-permute "images" mode transiently needs ~2x the image set,
+    ``idx`` is (K, B) IMAGE row indices; the body gathers its batch
+    rows directly — a batch-axis gather, which this platform vectorizes
+    (~134 GB/s, probe A), ~6 MB of reads per step.  This gives
+    image-level per-epoch reshuffling with ZERO extra HBM (the
+    full-permute "images" mode transiently needs ~2x the image set,
     which at the 7 GB reference scale collided with the eval/predictor
-    allocations on the 16 GB chip — the round-5 protocol OOM)."""
+    allocations on the 16 GB chip — the round-5 protocol OOM).  The
+    flat storage layout matters: gathering from a (C,B,...) chunked
+    layout required an in-program flatten that XLA materialized as a
+    whole-set copy per program call (+6.6 s/epoch at reference scale)."""
     _check_aug_cfg(cfg)
     if cfg.data.aug_pre_batch:
         raise ValueError("aug_pre_batch is not supported on the resident "
@@ -502,25 +505,21 @@ def make_train_step_scan_resident(cfg: SegTrainConfig, model: DeepLab, tx,
     body = _make_train_body(cfg, model, tx, frozen)
 
     @jax.jit
-    def scan_step(state: TrainState, images_c, labels_c, idx, lr, rng):
+    def scan_step(state: TrainState, images, labels, idx, lr, rng):
         keys = jax.random.split(rng, k)
         if gather:
-            n = images_c.shape[0] * images_c.shape[1]
-            flat_im = images_c.reshape((n,) + images_c.shape[2:])
-            flat_lb = labels_c.reshape((n,) + labels_c.shape[2:])
-
             def f(st, xs):
                 rows, ky = xs
-                im = jnp.take(flat_im, rows, axis=0)
-                lb = jnp.take(flat_lb, rows, axis=0)
+                im = jnp.take(images, rows, axis=0)
+                lb = jnp.take(labels, rows, axis=0)
                 return body(st, im, lb, None, lr, ky)
         else:
             def f(st, xs):
                 i, ky = xs
-                im = jax.lax.dynamic_index_in_dim(images_c, i, 0,
-                                                  keepdims=False)
-                lb = jax.lax.dynamic_index_in_dim(labels_c, i, 0,
-                                                  keepdims=False)
+                im = jax.lax.dynamic_slice_in_dim(images, i * batch,
+                                                  batch, axis=0)
+                lb = jax.lax.dynamic_slice_in_dim(labels, i * batch,
+                                                  batch, axis=0)
                 return body(st, im, lb, None, lr, ky)
 
         return jax.lax.scan(f, state, (idx, keys))
@@ -529,28 +528,29 @@ def make_train_step_scan_resident(cfg: SegTrainConfig, model: DeepLab, tx,
 
 
 def make_eval_step_scan_resident(cfg: SegTrainConfig, model: DeepLab,
-                                 k: int):
-    """K eval batches per program from device-resident chunks.
+                                 k: int, batch: int):
+    """K eval batches per program from the flat device-resident set.
 
-    Returns jit(state, images_c, labels_c, weights_c, idx (K,)) ->
-    {"loss": sum, "f_score": sum, "hist": (nc+1, nc+1) sum, "count": K}.
-    Scanning K eval batches into one program amortizes the fixed
-    per-program dispatch cost the same way the train scan does — the
-    val loop and ``evaluate_miou`` both ride it (VERDICT r4 weak #3:
-    the eval loop had never been profiled; the resident formulation
-    removes both its upload and its dispatch overheads)."""
+    Returns jit(state, images (N,...), labels, weights (N,)|None,
+    idx (K,) batch indices) -> {"loss": sum, "f_score": sum,
+    "hist": (nc, nc) sum, "count": K}.  Scanning K eval batches into
+    one program amortizes the fixed per-program dispatch cost the same
+    way the train scan does — the val loop and ``evaluate_miou`` both
+    ride it (VERDICT r4 weak #3: the eval loop had never been profiled;
+    the resident formulation removes both its upload and its dispatch
+    overheads — measured 622 img/s vs 39-41 host-fed, docs/PERF.md)."""
     body = _make_eval_body(cfg, model)
 
     @jax.jit
-    def scan_eval(state: TrainState, images_c, labels_c, weights_c, idx):
+    def scan_eval(state: TrainState, images, labels, weights, idx):
         def f(carry, i):
-            im = jax.lax.dynamic_index_in_dim(images_c, i, 0,
-                                              keepdims=False)
-            lb = jax.lax.dynamic_index_in_dim(labels_c, i, 0,
-                                              keepdims=False)
-            w = (jax.lax.dynamic_index_in_dim(weights_c, i, 0,
-                                              keepdims=False)
-                 if weights_c is not None else None)
+            im = jax.lax.dynamic_slice_in_dim(images, i * batch, batch,
+                                              axis=0)
+            lb = jax.lax.dynamic_slice_in_dim(labels, i * batch, batch,
+                                              axis=0)
+            w = (jax.lax.dynamic_slice_in_dim(weights, i * batch, batch,
+                                              axis=0)
+                 if weights is not None else None)
             m = body(state, im, lb, w)
             loss, fs, hist = carry
             return (loss + m["loss"], fs + m["f_score"],
@@ -601,19 +601,20 @@ class SegTrainer:
                                                     self.tx, frozen, k)
         return self._steps[key]
 
-    def _train_step_scan_resident(self, frozen: bool, k: int,
+    def _train_step_scan_resident(self, frozen: bool, k: int, batch: int,
                                   gather: bool = False):
-        key = ("scanres", frozen, k, gather)
+        key = ("scanres", frozen, k, batch, gather)
         if key not in self._steps:
             self._steps[key] = make_train_step_scan_resident(
-                self.cfg, self.model, self.tx, frozen, k, gather=gather)
+                self.cfg, self.model, self.tx, frozen, k, batch,
+                gather=gather)
         return self._steps[key]
 
-    def _eval_step_scan_resident(self, k: int):
-        key = ("evalres", k)
+    def _eval_step_scan_resident(self, k: int, batch: int):
+        key = ("evalres", k, batch)
         if key not in self._steps:
             self._steps[key] = make_eval_step_scan_resident(
-                self.cfg, self.model, k)
+                self.cfg, self.model, k, batch)
         return self._steps[key]
 
     def _eval_step(self):
@@ -701,7 +702,8 @@ class SegTrainer:
         pos = 0
         while pos < c:
             kk = min(k, c - pos)  # ragged tail: a shorter scan program
-            fn = self._train_step_scan_resident(frozen, kk, gather=gather)
+            fn = self._train_step_scan_resident(frozen, kk, b,
+                                                gather=gather)
             if gather:
                 idx = jnp.asarray(rows[pos:pos + kk])
             else:
@@ -729,7 +731,7 @@ class SegTrainer:
         pos = 0
         while pos < cv:
             kk = min(k, cv - pos)
-            fn = self._eval_step_scan_resident(kk)
+            fn = self._eval_step_scan_resident(kk, val_rs.batch_size)
             idx = jnp.arange(pos, pos + kk, dtype=jnp.int32)
             epending.append(fn(self.state, val_rs.images, val_rs.labels,
                                val_rs.weights, idx))
@@ -985,7 +987,7 @@ class SegTrainer:
         pos = 0
         while pos < cv:
             kk = min(k, cv - pos)
-            fn = self._eval_step_scan_resident(kk)
+            fn = self._eval_step_scan_resident(kk, val_rs.batch_size)
             idx = jnp.arange(pos, pos + kk, dtype=jnp.int32)
             pending.append(fn(self.state, val_rs.images, val_rs.labels,
                               val_rs.weights, idx))

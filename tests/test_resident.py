@@ -51,9 +51,10 @@ def test_from_arrays_train_drops_tail():
     from cervical_tpu.parallel import make_mesh
     mesh = make_mesh()
     rs = ResidentSegData.from_arrays(imgs, lbls, 4, mesh, train=True)
-    assert rs.images.shape == (2, 4, 48, 48, 3)
-    assert rs.labels.shape == (2, 4, 48, 48)
+    assert rs.images.shape == (8, 48, 48, 3)
+    assert rs.labels.shape == (8, 48, 48)
     assert rs.weights is None and rs.n == 8 and len(rs) == 2
+    assert rs.batch_size == 4
     np.testing.assert_array_equal(np.asarray(rs.images).reshape(8, -1),
                                   imgs[:8].reshape(8, -1))
 
@@ -63,7 +64,7 @@ def test_from_arrays_eval_pads_with_weights():
     from cervical_tpu.parallel import make_mesh
     mesh = make_mesh()
     rs = ResidentSegData.from_arrays(imgs, lbls, 4, mesh, train=False)
-    assert rs.images.shape == (3, 4, 48, 48, 3) and rs.n == 11
+    assert rs.images.shape == (12, 48, 48, 3) and rs.n == 11 and len(rs) == 3
     w = np.asarray(rs.weights).reshape(-1)
     np.testing.assert_array_equal(w, [1] * 11 + [0])
     # padded row repeats the last real image
@@ -96,7 +97,7 @@ def test_rechunk_preserves_order_and_weights():
     from cervical_tpu.parallel import make_mesh
     rs = ResidentSegData.from_arrays(imgs, lbls, 4, make_mesh(), train=False)
     rs2 = rs.rechunk(2)
-    assert rs2.images.shape == (6, 2, 48, 48, 3) and rs2.n == 10
+    assert rs2.batch_size == 2 and len(rs2) == 6 and rs2.n == 10
     np.testing.assert_array_equal(
         np.asarray(rs2.images).reshape(12, -1)[:10],
         imgs.reshape(10, -1))
@@ -162,12 +163,13 @@ def test_resident_gather_scan_matches_chunk_scan(voc_root, tmp_path):
     lr = jnp.float32(1e-3)
     key = jax.random.PRNGKey(5)
 
-    chunk_fn = trainer._train_step_scan_resident(frozen=False, k=k)
+    chunk_fn = trainer._train_step_scan_resident(frozen=False, k=k,
+                                                 batch=b)
     s1, m1 = chunk_fn(trainer.state, rs.images, rs.labels,
                       jnp.arange(k, dtype=jnp.int32), lr, key)
 
     gather_fn = trainer._train_step_scan_resident(frozen=False, k=k,
-                                                  gather=True)
+                                                  batch=b, gather=True)
     rows = jnp.arange(k * b, dtype=jnp.int32).reshape(k, b)
     s2, m2 = gather_fn(trainer.state, rs.images, rs.labels, rows, lr, key)
 
@@ -190,8 +192,8 @@ def test_resident_gather_epoch_covers_every_image(voc_root, tmp_path):
     seen = []
     fn_cache = trainer._train_step_scan_resident
 
-    def spy(frozen, k, gather=False):
-        inner = fn_cache(frozen, k, gather=gather)
+    def spy(frozen, k, batch, gather=False):
+        inner = fn_cache(frozen, k, batch, gather=gather)
 
         def wrapped(state, im, lb, idx, lr, rng):
             if gather:
