@@ -62,6 +62,8 @@ class SegPredictor:
         # update_state() — the in-training EvalCallback path — needs no
         # retrace/recompile between epochs
         self._jit_forward = jax.jit(self._forward)
+        # predict_masks programs, keyed by (ih, iw, batch_size)
+        self._miou_batched_jits = {}
 
     def _forward(self, params, batch_stats, images, model=None):
         from cervical_tpu.ops.conv import backend_scope
@@ -206,6 +208,63 @@ class SegPredictor:
     def get_miou_png(self, image: np.ndarray) -> np.ndarray:
         """Class-index mask at original resolution (deeplab.py:304-350)."""
         return self.predict_mask(image)
+
+    def predict_masks(self, images: np.ndarray,
+                      batch_size: int = 8) -> np.ndarray:
+        """Batched ``get_miou_png`` over SAME-resolution images.
+
+        The per-image path (get_miou_png) pays per-image dispatch + an
+        eager un-letterbox chain; at in-training-eval scale (840 val
+        images every eval_period) that measured ~620 ms/image on the
+        round-5 protocol run.  This path runs the whole pipeline —
+        letterbox -> forward -> un-letterbox -> argmax — as ONE jitted
+        program per batch (one compiled shape; ragged tail padded and
+        dropped), with a dispatch window so decode/hist overlap device
+        work.  Semantics match get_miou_png (same ops, same dtypes;
+        pinned by tests/test_predictor.py::test_predict_masks_batched_*).
+
+        ``images``: (N, ih, iw, 3) uint8, one shared original resolution.
+        Returns (N, ih, iw) uint8 class masks.
+        """
+        images = np.asarray(images)
+        n, ih, iw = images.shape[:3]
+        key = (ih, iw, batch_size)
+        fn = self._miou_batched_jits.get(key)
+        if fn is None:
+            h, w = self.cfg.data.input_shape
+            from cervical_tpu.ops.image import (letterbox_image,
+                                                unletterbox_logits)
+            dt = (jnp.bfloat16 if self.cfg.dtype == "bfloat16"
+                  else jnp.float32)
+
+            def masks_fn(params, batch_stats, batch):
+                staged = jax.vmap(
+                    lambda im: letterbox_image(im.astype(jnp.float32),
+                                               (h, w)))(batch)
+                x = preprocess_input(staged).astype(dt)
+                probs = self._forward(params, batch_stats,
+                                      x).astype(jnp.float32)
+                out = jax.vmap(
+                    lambda p: unletterbox_logits(p, (ih, iw), (h, w)))(probs)
+                return jnp.argmax(out, axis=-1).astype(jnp.uint8)
+
+            fn = self._miou_batched_jits[key] = jax.jit(masks_fn)
+        outs, pending = [], []
+        for i in range(0, n, batch_size):
+            chunk = images[i:i + batch_size]
+            k = len(chunk)
+            if k < batch_size:  # pad ragged tail: ONE compiled shape
+                chunk = np.concatenate(
+                    [chunk, np.zeros((batch_size - k,) + chunk.shape[1:],
+                                     chunk.dtype)])
+            pending.append((fn(self.state.params, self.state.batch_stats,
+                               jnp.asarray(chunk)), k))
+            if len(pending) > 4:  # bounded dispatch-ahead window
+                dev, kk = pending.pop(0)
+                outs.append(np.asarray(dev)[:kk])
+        for dev, kk in pending:
+            outs.append(np.asarray(dev)[:kk])
+        return np.concatenate(outs, 0)
 
     # -- benchmarking ---------------------------------------------------------
     def get_fps(self, image: np.ndarray, test_interval: int = 100) -> float:

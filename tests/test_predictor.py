@@ -85,6 +85,44 @@ def test_update_state_no_stale_weights(predictor):
     assert np.abs(p1 - p2).max() > 1e-6
 
 
+def test_predict_masks_batched_matches_per_image(predictor):
+    """The batched miou pipeline (one jitted program per batch: letterbox
+    -> forward -> unletterbox -> argmax) must reproduce the per-image
+    get_miou_png masks — including the ragged final batch."""
+    rng = np.random.default_rng(7)
+    for shape in ((40, 56), (32, 32)):
+        imgs = rng.integers(0, 255, (11,) + shape + (3,)).astype(np.uint8)
+        masks = predictor.predict_masks(imgs, batch_size=4)
+        assert masks.shape == (11,) + shape and masks.dtype == np.uint8
+        for i in range(len(imgs)):
+            np.testing.assert_array_equal(
+                masks[i], predictor.get_miou_png(imgs[i]),
+                err_msg=f"shape={shape} image={i}")
+
+
+def test_predictor_miou_callback_batched_matches_loop(tmp_path):
+    """batched=True (shape-bucketed jitted batch programs) and the
+    reference-shaped per-image loop must report the same mIoU."""
+    from cervical_tpu.data.voc import (VOCSegDataset, make_synthetic_voc,
+                                       read_split)
+    from cervical_tpu.train.callbacks import PredictorMiouCallback
+
+    root = make_synthetic_voc(str(tmp_path / "voc"), num_images=7, size=32)
+    cfg = SegTrainConfig(
+        data=SegDataConfig(input_shape=(32, 32), num_classes=5),
+        backbone="mobilenet", dtype="float32",
+        save_dir=str(tmp_path / "logs"), predictor_eval=True)
+    trainer = SegTrainer(cfg)
+    ds = VOCSegDataset(root, read_split(root, "val"), stage_hw=(32, 32))
+    cb_loop = PredictorMiouCallback(cfg.save_dir, ds, period=1,
+                                    batched=False)
+    cb_batch = PredictorMiouCallback(cfg.save_dir, ds, period=1,
+                                     batched=True, batch_size=4)
+    m_loop = cb_loop.run(cfg, trainer.state, 0, log=lambda *a: None)
+    m_batch = cb_batch.run(cfg, trainer.state, 0, log=lambda *a: None)
+    assert m_batch == pytest.approx(m_loop, abs=1e-12)
+
+
 def test_predictor_miou_callback(tmp_path):
     """EvalCallback equivalent: full inference path at original resolution
     every period epochs (utils/callbacks.py:105-200)."""
